@@ -1,0 +1,192 @@
+"""Jitted DQN core: rollout bursts, Bellman targets, one-step Adam updates.
+
+Re-designs the reference's host-driven loop (`Agent.generate_d2d_transition`
++ `Agent.replay`, BS_brain.py:409-748) — which crosses the host<->device
+boundary for every single-sample predict and every fit — as two fused device
+programs:
+
+  * `rollout`: `lax.scan` over `transitions_per_step` env transitions with
+    epsilon-greedy actions computed from an in-graph forward pass, writing
+    straight into the device-resident replay ring.
+  * `replay_update`: sample a batch, forward online+target nets, build the
+    Bellman targets y[a] = r + gamma*max Q_target(s') with the shared global
+    reward (BS_brain.py:670-692), Huber loss summed over heads, one Adam
+    step (Adam(1e-3, beta1=0.5), BS_brain.py:212-214).
+
+`train_step` = rollout + replay_update + conditional target sync (every 500
+env steps, BS_brain.py:275,846-847); the whole thing compiles to a single XLA
+program per episode loop iteration.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from gnnra_tpu.config import EnvConfig, ModelConfig, TrainConfig
+from gnnra_tpu.env import features, vehicular
+from gnnra_tpu.models import gnn_dqn
+from gnnra_tpu.ops import losses
+from gnnra_tpu.agent import policy, replay as replay_lib
+
+
+class AgentState(struct.PyTreeNode):
+    """Everything the learner owns, all device-resident."""
+
+    params: Any                 # online Q-network
+    target_params: Any          # target network
+    opt_state: Any
+    replay: replay_lib.ReplayState
+    env_step: jax.Array         # [] int32, counts env transitions (num_step)
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.adam(cfg.learning_rate, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
+                      eps=cfg.adam_eps)
+
+
+def init_agent(key: jax.Array, model_cfg: ModelConfig,
+               train_cfg: TrainConfig) -> AgentState:
+    k_online, k_target = jax.random.split(key)
+    params = gnn_dqn.init_params(k_online, model_cfg)
+    # The reference builds two independently-initialized models
+    # (BS_brain.py:105-106); the first target sync at num_step==500 aligns
+    # them. We mirror that: independent init.
+    target_params = gnn_dqn.init_params(k_target, model_cfg)
+    opt_state = make_optimizer(train_cfg).init(params)
+    return AgentState(params=params, target_params=target_params,
+                      opt_state=opt_state,
+                      replay=replay_lib.init(model_cfg, train_cfg.memory_capacity),
+                      env_step=jnp.zeros((), jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Rollout
+# ---------------------------------------------------------------------------
+
+def _weighted_reward(v2v_rate, v2i_rate, cfg: TrainConfig):
+    """Shared global reward (reference BS_brain.py:513-517)."""
+    return (cfg.v2v_weight * jnp.sum(v2v_rate) / cfg.v2v_rate_max
+            + cfg.v2i_weight * jnp.sum(v2i_rate))
+
+
+def rollout(agent: AgentState, env_state: vehicular.EnvState, key: jax.Array,
+            env_cfg: EnvConfig, model_cfg: ModelConfig, train_cfg: TrainConfig,
+            total_env_steps: int
+            ) -> Tuple[AgentState, vehicular.EnvState, jax.Array]:
+    """Generate `transitions_per_step` transitions into replay.
+
+    Mirrors `generate_d2d_transition` (BS_brain.py:409-553): featurize,
+    epsilon-greedy action, env act (reward + world advance), featurize next
+    state, store (S, A, R, S') with the adjacency shared between S and S'.
+
+    Returns (agent', env_state', reward_per_transition [T]).
+    """
+
+    def body(carry, k):
+        env_state, rep, env_step = carry
+        node, edge = features.node_edge_features(env_state, env_cfg)
+        adj = features.adjacency(env_state, env_cfg)
+        q = gnn_dqn.apply_single(agent.params, node, edge, adj, model_cfg)
+        eps = policy.epsilon_at(env_step, total_env_steps, train_cfg)
+        k_act, k_env = jax.random.split(k)
+        actions, _ = policy.epsilon_greedy(k_act, q, eps)
+        env_state, v2v_rate, v2i_rate, _ = vehicular.act(
+            env_state, actions[:, None], k_env, env_cfg)
+        reward = _weighted_reward(v2v_rate, v2i_rate, train_cfg)
+        next_node, next_edge = features.node_edge_features(env_state, env_cfg)
+        rep = replay_lib.add(rep, node, edge, adj, actions, reward,
+                             next_node, next_edge)
+        return (env_state, rep, env_step + 1), reward
+
+    keys = jax.random.split(key, train_cfg.transitions_per_step)
+    (env_state, rep, env_step), rewards = jax.lax.scan(
+        body, (env_state, agent.replay, agent.env_step), keys)
+    return agent.replace(replay=rep, env_step=env_step), env_state, rewards
+
+
+# ---------------------------------------------------------------------------
+# Replay / learning step
+# ---------------------------------------------------------------------------
+
+def bellman_targets(q_online_s, q_target_sp, actions, rewards,
+                    gamma: float) -> jax.Array:
+    """y = q_online(s) with y[n, a_n] = r + gamma * max_a q_target(s')[n, a]
+    (reference BS_brain.py:670-692; the reward is global across heads).
+
+    Shapes: q_* [B, N, A], actions [B, N], rewards [B]. Returns [B, N, A].
+    """
+    boot = rewards[:, None] + gamma * jnp.max(q_target_sp, axis=-1)  # [B, N]
+    onehot = jax.nn.one_hot(actions, q_online_s.shape[-1],
+                            dtype=q_online_s.dtype)
+    return q_online_s * (1.0 - onehot) + boot[..., None] * onehot
+
+
+def replay_update(agent: AgentState, key: jax.Array, model_cfg: ModelConfig,
+                  train_cfg: TrainConfig
+                  ) -> Tuple[AgentState, Dict[str, jax.Array]]:
+    """One learning step from replay (reference `Agent.replay`,
+    BS_brain.py:555-748). Returns (agent', metrics) with the reference's
+    metric semantics: per-head loss, target-Q mean/max, online-Q mean/max."""
+    idx = replay_lib.sample_indices(agent.replay, key, train_cfg.batch_size,
+                                    train_cfg)
+    node, edge, adj, action, reward, next_node, next_edge = \
+        replay_lib.gather(agent.replay, idx)
+
+    q_s = gnn_dqn.apply(agent.params, node, edge, adj, model_cfg)
+    # S' reuses S's adjacency (reference BS_brain.py:583).
+    q_sp = gnn_dqn.apply(agent.target_params, next_node, next_edge, adj,
+                         model_cfg)
+    y = bellman_targets(q_s, q_sp, action, reward, train_cfg.gamma)
+    y = jax.lax.stop_gradient(y)
+
+    def loss_fn(params):
+        q = gnn_dqn.apply(params, node, edge, adj, model_cfg)
+        per_head = jnp.mean(losses.huber(y, q), axis=(0, 2))  # [N]
+        return jnp.sum(per_head), per_head
+
+    (loss, per_head_loss), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(agent.params)
+    updates, opt_state = make_optimizer(train_cfg).update(
+        grads, agent.opt_state, agent.params)
+    params = optax.apply_updates(agent.params, updates)
+
+    n_actions = q_s.shape[-1]
+    metrics = {
+        "loss": loss,
+        "loss_per_head": per_head_loss,                          # [N]
+        "q_mean": jnp.mean(jnp.sum(y, axis=-1) / n_actions, axis=0),   # [N]
+        "q_max_mean": jnp.mean(jnp.max(y, axis=-1), axis=0),     # [N]
+        "orig_q_mean": jnp.mean(jnp.sum(q_s, axis=-1) / n_actions, axis=0),
+        "orig_q_max_mean": jnp.mean(jnp.max(q_s, axis=-1), axis=0),
+    }
+    return agent.replace(params=params, opt_state=opt_state), metrics
+
+
+def maybe_sync_target(agent: AgentState, train_cfg: TrainConfig) -> AgentState:
+    """Hard sync when env_step hits the update frequency (reference
+    BS_brain.py:846-847 checks after each train step)."""
+    sync = (agent.env_step % train_cfg.target_update_every_env_steps) == 0
+    target = jax.tree.map(
+        lambda t, o: jnp.where(sync, o, t), agent.target_params, agent.params)
+    return agent.replace(target_params=target)
+
+
+def train_step(agent: AgentState, env_state: vehicular.EnvState,
+               key: jax.Array, env_cfg: EnvConfig, model_cfg: ModelConfig,
+               train_cfg: TrainConfig, total_env_steps: int
+               ) -> Tuple[AgentState, vehicular.EnvState, jax.Array,
+                          Dict[str, jax.Array]]:
+    """One full training step: 50-transition rollout burst + one replay
+    update + conditional target sync (reference BS_brain.py:818-847)."""
+    k_roll, k_replay = jax.random.split(key)
+    agent, env_state, rewards = rollout(
+        agent, env_state, k_roll, env_cfg, model_cfg, train_cfg,
+        total_env_steps)
+    agent, metrics = replay_update(agent, k_replay, model_cfg, train_cfg)
+    agent = maybe_sync_target(agent, train_cfg)
+    return agent, env_state, rewards, metrics

@@ -1,0 +1,109 @@
+"""Device-resident replay memory.
+
+Re-designs `class Memory` (reference BS_brain.py:245-270) — a Python list of
+numpy tuples sampled on host — as a fixed-size ring of device arrays updated
+with `lax.dynamic_update_slice` inside jit, so transition generation and
+replay sampling never leave the TPU.
+
+A transition stores the GNN inputs directly (node/edge features + adjacency)
+instead of the reference's flat concatenated state vector
+(BS_brain.py:469,545); the next state shares the current adjacency, which is
+also the reference's behavior (S' adjacency aliased to S at BS_brain.py:583).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from gnnra_tpu.config import ModelConfig, TrainConfig
+
+
+class ReplayState(struct.PyTreeNode):
+    """Ring buffer of transitions (capacity C, N nodes)."""
+
+    node: jax.Array       # [C, N, node_dim]   current state
+    edge: jax.Array       # [C, N, edge_dim]
+    adj: jax.Array        # [C, N, N]          shared by S and S'
+    action: jax.Array     # [C, N] int32       RB per node (n_neighbor=1 flat)
+    reward: jax.Array     # [C]                shared global reward
+    next_node: jax.Array  # [C, N, node_dim]
+    next_edge: jax.Array  # [C, N, edge_dim]
+    cursor: jax.Array     # [] int32  next write slot
+    size: jax.Array       # [] int32  number of valid entries
+
+
+def init(model_cfg: ModelConfig, capacity: int) -> ReplayState:
+    n, dn, de = model_cfg.n_nodes, model_cfg.node_dim, model_cfg.edge_dim
+    z = jnp.zeros
+    return ReplayState(
+        node=z((capacity, n, dn)), edge=z((capacity, n, de)),
+        adj=z((capacity, n, n)), action=z((capacity, n), jnp.int32),
+        reward=z((capacity,)), next_node=z((capacity, n, dn)),
+        next_edge=z((capacity, n, de)),
+        cursor=jnp.zeros((), jnp.int32), size=jnp.zeros((), jnp.int32))
+
+
+def add(state: ReplayState, node, edge, adj, action, reward,
+        next_node, next_edge) -> ReplayState:
+    """Append one transition (FIFO overwrite past capacity,
+    reference BS_brain.py:252-256)."""
+    c = state.cursor
+    capacity = state.reward.shape[0]
+    return state.replace(
+        node=state.node.at[c].set(node),
+        edge=state.edge.at[c].set(edge),
+        adj=state.adj.at[c].set(adj),
+        action=state.action.at[c].set(action),
+        reward=state.reward.at[c].set(reward),
+        next_node=state.next_node.at[c].set(next_node),
+        next_edge=state.next_edge.at[c].set(next_edge),
+        cursor=(c + 1) % capacity,
+        size=jnp.minimum(state.size + 1, capacity))
+
+
+def add_batch(state: ReplayState, node, edge, adj, action, reward,
+              next_node, next_edge) -> ReplayState:
+    """Append a [T, ...] batch of transitions (one scanned rollout burst)."""
+
+    def body(s, xs):
+        return add(s, *xs), None
+
+    state, _ = jax.lax.scan(
+        body, state, (node, edge, adj, action, reward, next_node, next_edge))
+    return state
+
+
+def sample_indices(state: ReplayState, key: jax.Array, batch_size: int,
+                   cfg: TrainConfig) -> jax.Array:
+    """Draw batch indices.
+
+    'fast' (default): uniform ints with replacement — device-cheap and
+    statistically indistinguishable once size >> batch.
+    'faithful': without replacement like np.random.choice(..., replace=False)
+    (reference BS_brain.py:258-263), falling back to with-replacement when
+    fewer samples exist (reference BS_brain.py:264-270).
+    """
+    size = jnp.maximum(state.size, 1)
+    if cfg.replay_sampling == "faithful":
+        capacity = state.reward.shape[0]
+        # Gumbel top-k over valid slots = uniform sample without replacement.
+        g = jax.random.gumbel(key, (capacity,))
+        g = jnp.where(jnp.arange(capacity) < state.size, g, -jnp.inf)
+        _, idx = jax.lax.top_k(g, batch_size)
+        # with-replacement fallback for size < batch
+        k2 = jax.random.fold_in(key, 1)
+        idx_wr = jax.random.randint(k2, (batch_size,), 0, size)
+        return jnp.where(state.size >= batch_size, idx, idx_wr)
+    return jax.random.randint(key, (batch_size,), 0, size)
+
+
+def gather(state: ReplayState, idx: jax.Array) -> Tuple[jax.Array, ...]:
+    """Fetch a batch: (node, edge, adj, action, reward, next_node,
+    next_edge)."""
+    return (state.node[idx], state.edge[idx], state.adj[idx],
+            state.action[idx], state.reward[idx], state.next_node[idx],
+            state.next_edge[idx])

@@ -1,0 +1,196 @@
+"""Manhattan-grid vehicle mobility as masked vector ops.
+
+TPU-native re-design of `Environ.renew_positions` (reference
+Environment.py:236-345): the reference walks a Python list of Vehicle objects
+with data-dependent branches; here every vehicle advances in parallel with
+`jnp.where` masks and the (static) 6-lane scans unrolled, so the whole update
+jits into a few fused VPU ops and `vmap`s over batched environments.
+
+Direction encoding: 0='u' (+y), 1='d' (-y), 2='l' (-x), 3='r' (+x).
+
+Faithful behavior quirk (cfg.faithful_quirks, default True): in the reference,
+the "move straight" decrement for left-moving vehicles sits *inside* the
+down-lane scan loop (Environment.py:323-324 is indented one level too deep),
+so an 'l' vehicle that does not turn advances len(down_lanes)=6 steps of
+velocity*timestep per renew instead of one, and each lane-crossing check in
+that scan observes the partially-advanced x. We reproduce that exactly when
+the flag is set, and the symmetric single-step behavior when it is not.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gnnra_tpu.config import EnvConfig
+
+DIR_U, DIR_D, DIR_L, DIR_R = 0, 1, 2, 3
+
+
+def renew_positions(positions: jax.Array, directions: jax.Array,
+                    velocities: jax.Array, key: jax.Array,
+                    cfg: EnvConfig) -> Tuple[jax.Array, jax.Array]:
+    """Advance every vehicle one mobility step.
+
+    Args:
+      positions: [N, 2] float, (x, y).
+      directions: [N] int32 in {0=u, 1=d, 2=l, 3=r}.
+      velocities: [N] float, m/s.
+      key: PRNG key for the turn decisions.
+      cfg: static environment config.
+
+    Returns:
+      (new_positions [N,2], new_directions [N]).
+    """
+    n = positions.shape[0]
+    x, y = positions[:, 0], positions[:, 1]
+    delta = velocities * cfg.timestep
+    p_turn = cfg.turn_probability
+    n_lanes = len(cfg.up_lanes)
+
+    # One uniform per (vehicle, lane, primary/secondary scan). The reference
+    # draws only at actual crossings (Environment.py:251 etc.); drawing
+    # unconditionally consumes a different RNG stream but is identically
+    # distributed per decision.
+    u_all = jax.random.uniform(key, (n, 2, n_lanes))
+    u_prim, u_sec = u_all[:, 0, :], u_all[:, 1, :]
+
+    nx, ny = x, y
+    ndir = directions
+    done = jnp.zeros(n, dtype=bool)
+
+    def scan_lanes(lanes, u_draw, active, done, nx, ny, ndir, cross_fn,
+                   turn_fn, new_dir):
+        """First-crossing-wins lane scan for one (direction, lane-set) pair."""
+        for j, lane in enumerate(lanes):
+            cross = cross_fn(lane)
+            take = active & (~done) & cross & (u_draw[:, j] < p_turn)
+            tx, ty = turn_fn(lane)
+            nx = jnp.where(take, tx, nx)
+            ny = jnp.where(take, ty, ny)
+            ndir = jnp.where(take, new_dir, ndir)
+            done = done | take
+        return done, nx, ny, ndir
+
+    # --- direction 'u' (+y): left lanes then right lanes (Environment.py:246-265)
+    is_u = directions == DIR_U
+    done, nx, ny, ndir = scan_lanes(
+        cfg.left_lanes, u_prim, is_u, done, nx, ny, ndir,
+        cross_fn=lambda ll: (y <= ll) & (y + delta >= ll),
+        turn_fn=lambda ll: (x - (delta - (ll - y)), jnp.full_like(y, ll)),
+        new_dir=DIR_L)
+    done, nx, ny, ndir = scan_lanes(
+        cfg.right_lanes, u_sec, is_u, done, nx, ny, ndir,
+        cross_fn=lambda rl: (y <= rl) & (y + delta >= rl),
+        turn_fn=lambda rl: (x + (delta + (rl - y)), jnp.full_like(y, rl)),
+        new_dir=DIR_R)
+    straight_u = is_u & (~done)
+    ny = jnp.where(straight_u, y + delta, ny)
+
+    # --- direction 'd' (-y): left lanes then right lanes (Environment.py:266-286)
+    is_d = directions == DIR_D
+    done, nx, ny, ndir = scan_lanes(
+        cfg.left_lanes, u_prim, is_d, done, nx, ny, ndir,
+        cross_fn=lambda ll: (y >= ll) & (y - delta <= ll),
+        turn_fn=lambda ll: (x - (delta - (y - ll)), jnp.full_like(y, ll)),
+        new_dir=DIR_L)
+    done, nx, ny, ndir = scan_lanes(
+        cfg.right_lanes, u_sec, is_d, done, nx, ny, ndir,
+        cross_fn=lambda rl: (y >= rl) & (y - delta <= rl),
+        turn_fn=lambda rl: (x + (delta + (y - rl)), jnp.full_like(y, rl)),
+        new_dir=DIR_R)
+    straight_d = is_d & (~done)
+    ny = jnp.where(straight_d, y - delta, ny)
+
+    # --- direction 'r' (+x): up lanes then down lanes (Environment.py:287-305)
+    is_r = directions == DIR_R
+    done, nx, ny, ndir = scan_lanes(
+        cfg.up_lanes, u_prim, is_r, done, nx, ny, ndir,
+        cross_fn=lambda ul: (x <= ul) & (x + delta >= ul),
+        turn_fn=lambda ul: (jnp.full_like(x, ul), y + (delta - (ul - x))),
+        new_dir=DIR_U)
+    done, nx, ny, ndir = scan_lanes(
+        cfg.down_lanes, u_sec, is_r, done, nx, ny, ndir,
+        cross_fn=lambda dl: (x <= dl) & (x + delta >= dl),
+        turn_fn=lambda dl: (jnp.full_like(x, dl), y - (delta - (dl - x))),
+        new_dir=DIR_D)
+    straight_r = is_r & (~done)
+    nx = jnp.where(straight_r, x + delta, nx)
+
+    # --- direction 'l' (-x): up lanes, then the quirky down-lane scan
+    # (Environment.py:306-324).
+    is_l = directions == DIR_L
+    done, nx, ny, ndir = scan_lanes(
+        cfg.up_lanes, u_prim, is_l, done, nx, ny, ndir,
+        cross_fn=lambda ul: (x >= ul) & (x - delta <= ul),
+        turn_fn=lambda ul: (jnp.full_like(x, ul), y + (delta - (x - ul))),
+        new_dir=DIR_U)
+    # Down-lane scan: in faithful mode x advances inside the scan, so each
+    # crossing check sees the running coordinate `cx`.
+    cx = x
+    for j, dl in enumerate(cfg.down_lanes):
+        cross = (cx >= dl) & (cx - delta <= dl)
+        take = is_l & (~done) & cross & (u_sec[:, j] < p_turn)
+        nx = jnp.where(take, dl, nx)
+        ny = jnp.where(take, y - (delta - (cx - dl)), ny)
+        ndir = jnp.where(take, DIR_D, ndir)
+        done = done | take
+        if cfg.faithful_quirks:
+            cx = jnp.where(is_l & (~done), cx - delta, cx)
+    straight_l = is_l & (~done)
+    if cfg.faithful_quirks:
+        nx = jnp.where(straight_l, cx, nx)
+    else:
+        nx = jnp.where(straight_l, x - delta, nx)
+
+    # --- boundary wrap-around (Environment.py:326-343), keyed on the *new*
+    # direction, exactly as the reference (which re-reads self.direction).
+    out = (nx < 0.0) | (ny < 0.0) | (nx > cfg.width) | (ny > cfg.height)
+    wrap_u = out & (ndir == DIR_U)   # u -> r at the last right lane
+    wrap_d = out & (ndir == DIR_D)   # d -> l at the first left lane
+    wrap_l = out & (ndir == DIR_L)   # l -> u at the first up lane
+    wrap_r = out & (ndir == DIR_R)   # r -> d at the last down lane
+    ny = jnp.where(wrap_u, cfg.right_lanes[-1], ny)
+    ny = jnp.where(wrap_d, cfg.left_lanes[0], ny)
+    nx = jnp.where(wrap_l, cfg.up_lanes[0], nx)
+    nx = jnp.where(wrap_r, cfg.down_lanes[-1], nx)
+    ndir = jnp.where(wrap_u, DIR_R, ndir)
+    ndir = jnp.where(wrap_d, DIR_L, ndir)
+    ndir = jnp.where(wrap_l, DIR_U, ndir)
+    ndir = jnp.where(wrap_r, DIR_D, ndir)
+
+    return jnp.stack([nx, ny], axis=-1), ndir
+
+
+def spawn_vehicles(key: jax.Array, cfg: EnvConfig
+                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Spawn n_veh vehicles, 4 per unit (one per lane direction).
+
+    Reproduces `add_new_vehicles_by_number` (reference Environment.py:217-234):
+    each unit draws one shared lane index and spawns a 'd', 'u', 'l', 'r'
+    vehicle in that order; velocities ~ U{10..15}.
+
+    Returns (positions [N,2], directions [N], velocities [N]).
+    """
+    n_units = cfg.n_veh // 4
+    assert n_units * 4 == cfg.n_veh, "n_veh must be a multiple of 4"
+    k_lane, k_coord, k_vel = jax.random.split(key, 3)
+    lane_idx = jax.random.randint(k_lane, (n_units,), 0, len(cfg.down_lanes))
+    coords = jax.random.uniform(k_coord, (n_units, 4))
+    # reference uses random.randint(0, height) -> integer grid; we keep
+    # continuous uniform (identical support, smoother distribution).
+    down = jnp.asarray(cfg.down_lanes)[lane_idx]
+    up = jnp.asarray(cfg.up_lanes)[lane_idx]
+    left = jnp.asarray(cfg.left_lanes)[lane_idx]
+    right = jnp.asarray(cfg.right_lanes)[lane_idx]
+    pos_d = jnp.stack([down, coords[:, 0] * cfg.height], axis=-1)
+    pos_u = jnp.stack([up, coords[:, 1] * cfg.height], axis=-1)
+    pos_l = jnp.stack([coords[:, 2] * cfg.width, left], axis=-1)
+    pos_r = jnp.stack([coords[:, 3] * cfg.width, right], axis=-1)
+    positions = jnp.stack([pos_d, pos_u, pos_l, pos_r], axis=1).reshape(-1, 2)
+    directions = jnp.tile(
+        jnp.asarray([DIR_D, DIR_U, DIR_L, DIR_R], dtype=jnp.int32), n_units)
+    velocities = jax.random.randint(k_vel, (cfg.n_veh,), 10, 16).astype(jnp.float32)
+    return positions, directions, velocities

@@ -1,0 +1,304 @@
+"""Functional V2X environment: state pytree + pure transition functions.
+
+TPU-native re-design of `class Environ` (reference Environment.py:179-506).
+The reference holds mutable Python objects (Vehicle lists, channel-model
+instances) and steps them with scalar loops; here the environment is a single
+`EnvState` array pytree and every transition is a pure jittable function of
+(state, key, cfg) that `vmap`s over batched environments and runs under
+`lax.scan` inside the training loop.
+
+Reward / interference math (the SDDMM-like hot kernel of the reference,
+Environment.py:406-493) is expressed as gathers + one-hot matmuls that XLA
+maps onto the MXU/VPU.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from gnnra_tpu.config import EnvConfig
+from gnnra_tpu.env import channels, mobility
+
+
+class EnvState(struct.PyTreeNode):
+    """All mutable simulator state as arrays (shapes for N vehicles, R RBs,
+    M neighbors)."""
+
+    positions: jax.Array       # [N, 2]
+    directions: jax.Array      # [N] int32
+    velocities: jax.Array      # [N]
+    shadow_v2v: jax.Array      # [N, N] dB
+    shadow_v2i: jax.Array      # [N] dB
+    v2v_abs: jax.Array         # [N, N] pathloss+shadow(+50 dB diag) dB
+    v2i_abs: jax.Array         # [N] dB
+    v2v_fast: jax.Array        # [N, N, R] fading dB (subtracted)
+    v2i_fast: jax.Array        # [N, R]
+    destinations: jax.Array    # [N, M] int32 receiver per (tx, neighbor)
+    activate_links: jax.Array  # [N, M] bool
+    v2v_interference_db: jax.Array  # [N, M, R] observation (Compute_Interference)
+    step: jax.Array            # [] int32
+
+
+# ---------------------------------------------------------------------------
+# Derived channel tensors
+# ---------------------------------------------------------------------------
+
+def v2v_channels_with_fastfading(state: EnvState) -> jax.Array:
+    """[N, N, R] composite V2V loss (reference Environment.py:401-402)."""
+    return state.v2v_abs[:, :, None] - state.v2v_fast
+
+
+def v2i_channels_with_fastfading(state: EnvState) -> jax.Array:
+    """[N, R] composite V2I loss (reference Environment.py:403-404)."""
+    return state.v2i_abs[:, None] - state.v2i_fast
+
+
+# ---------------------------------------------------------------------------
+# Channel refresh
+# ---------------------------------------------------------------------------
+
+def renew_channels_fastfading(state: EnvState, key: jax.Array,
+                              cfg: EnvConfig) -> EnvState:
+    """Refresh pathloss, AR(1) shadowing, and Rayleigh fast fading.
+
+    Mirrors `renew_channel` + `renew_channels_fastfading` (reference
+    Environment.py:378-404): shadowing advances with delta = 0.002*velocity
+    and the V2V diagonal gets a +50 dB self-interference guard.
+    """
+    n = state.positions.shape[0]
+    k_sv, k_si, k_fv, k_fi = jax.random.split(key, 4)
+
+    pl_v2v = channels.v2v_pathloss(state.positions, cfg)
+    pl_v2i = channels.v2i_pathloss(state.positions, cfg)
+
+    delta = cfg.shadow_delta_factor * state.velocities
+    # V2V AR(1) distance is d_i + d_j (reference Environment.py:70-74).
+    dd_v2v = delta[:, None] + delta[None, :]
+    shadow_v2v = channels.ar1_shadow_update(
+        state.shadow_v2v, dd_v2v, cfg.v2v_decorrelation_distance,
+        cfg.v2v_shadow_std, k_sv)
+    shadow_v2i = channels.ar1_shadow_update(
+        state.shadow_v2i, delta, cfg.v2i_decorrelation_distance,
+        cfg.v2i_shadow_std, k_si)
+
+    v2v_abs = pl_v2v + shadow_v2v + 50.0 * jnp.eye(n)
+    v2i_abs = pl_v2i + shadow_v2i
+    v2v_fast = channels.rayleigh_fading_db(k_fv, (n, n, cfg.n_rb))
+    v2i_fast = channels.rayleigh_fading_db(k_fi, (n, cfg.n_rb))
+
+    return state.replace(shadow_v2v=shadow_v2v, shadow_v2i=shadow_v2i,
+                         v2v_abs=v2v_abs, v2i_abs=v2i_abs,
+                         v2v_fast=v2v_fast, v2i_fast=v2i_fast)
+
+
+def renew_neighbor(state: EnvState, key: jax.Array, cfg: EnvConfig) -> EnvState:
+    """Pick each transmitter's receiver(s) — the interference-graph edges.
+
+    Mirrors `renew_neighbor` (reference Environment.py:360-376): sort vehicles
+    by distance; destinations are n_neighbor distinct samples from the
+    candidates sorted[1 : N-2] (self and the two farthest excluded).
+    """
+    n = state.positions.shape[0]
+    z = state.positions[:, 0] + 1j * state.positions[:, 1]
+    dist = jnp.abs(z[:, None] - z[None, :])
+    # sort_idx[:, i] in the reference sorts column i; symmetric matrix so
+    # sorting rows is identical.
+    order = jnp.argsort(dist, axis=1)              # [N, N] nearest-first, self at 0
+    candidates = order[:, 1:n - 2]                 # [N, N-3]
+    keys = jax.random.split(key, n)
+
+    def pick(k, cand):
+        perm = jax.random.permutation(k, cand.shape[0])
+        return cand[perm[:cfg.n_neighbor]]
+
+    destinations = jax.vmap(pick)(keys, candidates).astype(jnp.int32)
+    return state.replace(destinations=destinations)
+
+
+# ---------------------------------------------------------------------------
+# Reward / rate engine
+# ---------------------------------------------------------------------------
+
+def compute_reward_with_channel_selection(
+        state: EnvState, actions: jax.Array, cfg: EnvConfig
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Shannon rates for a joint channel selection.
+
+    Vectorizes `compute_reward_with_channel_selection` (reference
+    Environment.py:406-458). actions: [N, M] int RB choice per link.
+
+    Returns:
+      v2v_rate [N, M], v2i_rate [min(R,N)], v2i_interference_at_bs [R]
+      (the last one *without* the noise floor, as the reference returns it).
+    """
+    n, m = actions.shape
+    r = cfg.n_rb
+    v2v_ff = v2v_channels_with_fastfading(state)   # [N, N, R]
+    v2i_ff = v2i_channels_with_fastfading(state)   # [N, R]
+    p_v2v = cfg.v2v_power_levels_dbm[cfg.fixed_v2v_power_index]
+    active = state.activate_links                  # [N, M] bool
+    dest = state.destinations                      # [N, M]
+    tx = jnp.broadcast_to(jnp.arange(n)[:, None], (n, m))
+
+    # --- V2I interference at the BS, accumulated per selected RB
+    # (Environment.py:413-421): one-hot segment-sum onto the RB axis.
+    v2i_gain = jnp.take_along_axis(v2i_ff, actions, axis=1)  # [N, M] (M<=R)
+    v2i_term = 10.0 ** ((p_v2v - v2i_gain + cfg.veh_ant_gain + cfg.bs_ant_gain
+                         - cfg.bs_noise_figure) / 10.0)
+    onehot = jax.nn.one_hot(actions, r, dtype=v2i_term.dtype)  # [N, M, R]
+    v2i_interference = jnp.einsum("nm,nmr->r", v2i_term * active, onehot)
+    v2i_interference_total = v2i_interference + cfg.sig2
+
+    # --- V2V link signal (Environment.py:430-433).
+    g_sig = v2v_ff[tx, dest, actions]              # [N, M]
+    link_gain_const = 2.0 * cfg.veh_ant_gain - cfg.veh_noise_figure
+    v2v_signal = active * 10.0 ** ((p_v2v - g_sig + link_gain_const) / 10.0)
+
+    # --- V2I -> V2V cross interference (Environment.py:434-438): the V2I
+    # transmitter on RB b is modeled as vehicle row b (only when b < N).
+    rb_ok = actions < n
+    safe_rb = jnp.minimum(actions, n - 1)
+    g_cross = v2v_ff[safe_rb, dest, actions]       # [N, M]
+    cross = rb_ok * active * 10.0 ** ((cfg.v2i_power_dbm - g_cross
+                                       + link_gain_const) / 10.0)
+
+    # --- pairwise co-channel V2V interference (Environment.py:440-451):
+    # links flattened to L = N*M; interference at link l from every other
+    # active link l2 sharing its RB, with gain v2v_ff[tx_l2, rx_l, rb_l].
+    tx_f = tx.reshape(-1)
+    rx_f = dest.reshape(-1)
+    rb_f = actions.reshape(-1)
+    act_f = active.reshape(-1)
+    L = n * m
+    # gain[l, l2] = channel from transmitter of l2 to receiver of l on rb_l
+    gain = v2v_ff[tx_f[None, :], rx_f[:, None], rb_f[:, None]]  # [L, L]
+    same_rb = rb_f[:, None] == rb_f[None, :]
+    pair_mask = (same_rb & act_f[:, None] & act_f[None, :]
+                 & ~jnp.eye(L, dtype=bool))
+    v2v_interf = jnp.sum(
+        pair_mask * 10.0 ** ((p_v2v - gain + link_gain_const) / 10.0), axis=1)
+    v2v_interf = v2v_interf.reshape(n, m) + cross
+    v2v_interference_total = v2v_interf + cfg.sig2
+
+    v2v_rate = jnp.log2(1.0 + v2v_signal / v2v_interference_total)
+
+    # --- V2I rates (Environment.py:453-456): the first min(R, N) vehicles
+    # are the V2I uplink transmitters, one per RB.
+    k = min(r, n)
+    v2i_signal_db = (cfg.v2i_power_dbm - state.v2i_abs[:k] + cfg.veh_ant_gain
+                     + cfg.bs_ant_gain - cfg.bs_noise_figure)
+    v2i_rate = jnp.log2(1.0 + 10.0 ** (v2i_signal_db / 10.0)
+                        / v2i_interference_total[:k])
+
+    return v2v_rate, v2i_rate, v2i_interference
+
+
+def compute_interference_obs(state: EnvState, actions: jax.Array,
+                             cfg: EnvConfig) -> jax.Array:
+    """Next-state interference observation [N, M, R] in dB.
+
+    Vectorizes `Compute_Interference` (reference Environment.py:460-493),
+    including its behavior quirk: the V2V-to-V2V accumulation is skipped for
+    every *active* link (the guard `channel_selection[i,j] >= 0` at
+    Environment.py:486), so with all links active only the V2I term and the
+    noise floor contribute. Inactive links (selection -1) fall through and
+    accumulate onto RB index -1 == R-1 — reproduced under faithful_quirks.
+    """
+    n, m = actions.shape
+    r = cfg.n_rb
+    v2v_ff = v2v_channels_with_fastfading(state)
+    dest = state.destinations
+    link_gain_const = 2.0 * cfg.veh_ant_gain - cfg.veh_noise_figure
+
+    interf = jnp.full((n, m, r), cfg.sig2)
+
+    # V2I term (Environment.py:471-480): for RB i the V2I transmitter is
+    # vehicle row i of the V2V channel tensor. Requires R <= N (true for the
+    # reference configs where R == N).
+    assert r <= n, "interference observation assumes n_rb <= n_veh (as reference)"
+    rb_idx = jnp.arange(r)
+    # g[k, m_, i] = v2v_ff[i, dest[k, m_], i]
+    g = v2v_ff[rb_idx[None, None, :], dest[:, :, None], rb_idx[None, None, :]]
+    interf = interf + 10.0 ** ((cfg.v2i_power_dbm - g + link_gain_const) / 10.0)
+
+    if cfg.faithful_quirks:
+        # Dead-code branch reproduced: inactive links (i,j) add their power to
+        # every other vehicle's observation on RB -1 (the last RB), with the
+        # channel also sampled at RB -1 (Environment.py:482-491).
+        p_v2v = cfg.v2v_power_levels_dbm[cfg.fixed_v2v_power_index]
+        sel = jnp.where(state.activate_links, actions, -1)
+        inactive = sel < 0                                # [N, M] contributors
+        # contribution of link (i,j) to obs (k, m_): gain v2v_ff[i, dest[k,m_], -1]
+        g_last = v2v_ff[:, :, r - 1]                      # [N(tx), N(rx)]
+        contrib = 10.0 ** ((p_v2v - g_last[:, dest]) / 10.0
+                           + link_gain_const / 10.0)      # [N(tx), N(rx=k), M]
+        not_self = ~jnp.eye(n, dtype=bool)                # i != k
+        weight = (inactive.sum(axis=1)[:, None] * not_self)  # [N(tx), N(k)]
+        add_last = jnp.einsum("ik,ikm->km", weight.astype(contrib.dtype),
+                              contrib * not_self[:, :, None])
+        interf = interf.at[:, :, r - 1].add(add_last)
+
+    return 10.0 * jnp.log10(interf)
+
+
+# ---------------------------------------------------------------------------
+# Episode reset and environment step
+# ---------------------------------------------------------------------------
+
+def new_random_game(key: jax.Array, cfg: EnvConfig) -> EnvState:
+    """Fresh episode (reference `new_random_game`, Environment.py:495-506):
+    respawn vehicles, fresh shadowing, refresh channels, pick neighbors,
+    activate all links."""
+    n = cfg.n_veh
+    k_spawn, k_shadow_v, k_shadow_i, k_chan, k_nbr = jax.random.split(key, 5)
+    positions, directions, velocities = mobility.spawn_vehicles(k_spawn, cfg)
+    # Fresh shadow realizations (channel objects are re-created at reset,
+    # Environment.py:502-503 -> V2Vchannels.__init__ -> update_shadow([])).
+    shadow_v2v = cfg.v2v_shadow_std * jax.random.normal(k_shadow_v, (n, n))
+    shadow_v2i = cfg.v2i_shadow_std * jax.random.normal(k_shadow_i, (n,))
+    state = EnvState(
+        positions=positions, directions=directions, velocities=velocities,
+        shadow_v2v=shadow_v2v, shadow_v2i=shadow_v2i,
+        v2v_abs=jnp.zeros((n, n)), v2i_abs=jnp.zeros((n,)),
+        v2v_fast=jnp.zeros((n, n, cfg.n_rb)), v2i_fast=jnp.zeros((n, cfg.n_rb)),
+        destinations=jnp.zeros((n, cfg.n_neighbor), dtype=jnp.int32),
+        activate_links=jnp.ones((n, cfg.n_neighbor), dtype=bool),
+        v2v_interference_db=jnp.full((n, cfg.n_neighbor, cfg.n_rb),
+                                     10.0 * jnp.log10(jnp.asarray(cfg.sig2))),
+        step=jnp.zeros((), jnp.int32))
+    state = renew_channels_fastfading(state, k_chan, cfg)
+    state = renew_neighbor(state, k_nbr, cfg)
+    return state
+
+
+def act(state: EnvState, actions: jax.Array, key: jax.Array, cfg: EnvConfig
+        ) -> Tuple[EnvState, jax.Array, jax.Array, jax.Array]:
+    """Execute a joint action: reward, then advance the world.
+
+    Mirrors `Agent.act` (reference BS_brain.py:366-376): reward on the current
+    channels, then mobility -> channel refresh -> interference observation.
+
+    Returns (next_state, v2v_rate [N,M], v2i_rate [K], v2i_interference [R]).
+    """
+    k_mob, k_chan = jax.random.split(key)
+    v2v_rate, v2i_rate, interference = compute_reward_with_channel_selection(
+        state, actions, cfg)
+    positions, directions = mobility.renew_positions(
+        state.positions, state.directions, state.velocities, k_mob, cfg)
+    state = state.replace(positions=positions, directions=directions,
+                          step=state.step + 1)
+    state = renew_channels_fastfading(state, k_chan, cfg)
+    state = state.replace(
+        v2v_interference_db=compute_interference_obs(state, actions, cfg))
+    return state, v2v_rate, v2i_rate, interference
+
+
+def dump_act(state: EnvState, actions: jax.Array, cfg: EnvConfig
+             ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Reward only, no state change (reference `dump_act`, BS_brain.py:378-383).
+    Used by the Random-Action and brute-force-Optimal baselines."""
+    return compute_reward_with_channel_selection(state, actions, cfg)
