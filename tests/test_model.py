@@ -1,0 +1,225 @@
+"""Tests: GNN primitives and the GNN-DQN model vs literal NumPy oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnnra_tpu.config import ModelConfig
+from gnnra_tpu.models import gnn_dqn
+from gnnra_tpu.ops import (aggregate_dense, aggregate_sparse, dqn_loss,
+                           gnn_combine, huber, huber_mean)
+
+CFG = ModelConfig()
+
+
+def np_gnn_layer(a, b, c, w1, w2, w3, bias, relu=True):
+    """Literal transcription of GNNLayer.call (reference BS_brain.py:44-51)."""
+    out = a @ w1 + b @ w2 + c @ w3 + bias
+    return np.maximum(out, 0) if relu else out
+
+
+def np_agg_layer_kron(feats, adj, f):
+    """Literal transcription of AggLayer.call (reference BS_brain.py:69-76):
+    concat per-node features to [B, N*F], batch_dot with the kron-lifted
+    block adjacency (BS_brain.py:492-493), split back."""
+    bsz, n, _ = feats.shape
+    d = feats.reshape(bsz, n * f)                      # concat over nodes
+    a_block = np.stack([np.kron(a, np.eye(f)) for a in adj])  # [B, NF, NF]
+    out = np.einsum("bi,bij->bj", d, a_block)          # batch_dot axes=[1,1]
+    return out.reshape(bsz, n, f)
+
+
+class TestAggregation:
+    def test_dense_equals_kron_reference(self):
+        rng = np.random.RandomState(0)
+        feats = rng.randn(3, 4, 16).astype(np.float32)
+        adj = rng.randint(0, 2, size=(3, 4, 4)).astype(np.float32)
+        got = np.asarray(aggregate_dense(jnp.asarray(feats), jnp.asarray(adj)))
+        want = np_agg_layer_kron(feats, adj, 16)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_dense_broadcast_2d_adj(self):
+        rng = np.random.RandomState(1)
+        feats = rng.randn(2, 4, 8).astype(np.float32)
+        adj = rng.rand(4, 4).astype(np.float32)
+        got = np.asarray(aggregate_dense(jnp.asarray(feats), jnp.asarray(adj)))
+        want = np_agg_layer_kron(feats, np.broadcast_to(adj, (2, 4, 4)), 8)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_sparse_equals_dense(self):
+        rng = np.random.RandomState(2)
+        n, f = 6, 8
+        h = rng.randn(n, f).astype(np.float32)
+        adj = (rng.rand(n, n) < 0.5).astype(np.float32)
+        np.fill_diagonal(adj, 0)
+        senders, receivers = np.nonzero(adj)          # edge i -> j
+        got = np.asarray(aggregate_sparse(
+            jnp.asarray(h), jnp.asarray(senders), jnp.asarray(receivers), n))
+        want = np.asarray(aggregate_dense(
+            jnp.asarray(h[None]), jnp.asarray(adj[None])))[0]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_sparse_edge_weights_and_padding(self):
+        rng = np.random.RandomState(3)
+        n, f = 5, 4
+        h = rng.randn(n, f).astype(np.float32)
+        senders = jnp.asarray([0, 1, 2, 0, 0])
+        receivers = jnp.asarray([1, 2, 3, 4, 0])
+        w = jnp.asarray([1.0, 2.0, 0.5, 1.0, 0.0])    # last edge = padding
+        got = np.asarray(aggregate_sparse(jnp.asarray(h), senders, receivers,
+                                          n, edge_weight=w))
+        want = np.zeros((n, f), np.float32)
+        want[1] += h[0]
+        want[2] += 2.0 * h[1]
+        want[3] += 0.5 * h[2]
+        want[4] += h[0]
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+class TestCombine:
+    def test_matches_reference_layer_math(self):
+        rng = np.random.RandomState(4)
+        bsz, n = 5, 4
+        node = rng.randn(bsz, n, 9).astype(np.float32)
+        edge = rng.randn(bsz, n, 4).astype(np.float32)
+        nbr = rng.randn(bsz, n, 16).astype(np.float32)
+        w1 = rng.randn(n, 9, 16).astype(np.float32)
+        w2 = rng.randn(n, 4, 16).astype(np.float32)
+        w3 = rng.randn(n, 16, 16).astype(np.float32)
+        b = rng.randn(n, 16).astype(np.float32)
+        got = np.asarray(gnn_combine(*map(jnp.asarray,
+                                          (node, edge, nbr, w1, w2, w3, b))))
+        want = np.stack([
+            np_gnn_layer(node[:, i], edge[:, i], nbr[:, i],
+                         w1[i], w2[i], w3[i], b[i]) for i in range(n)], axis=1)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_linear_activation(self):
+        z = jnp.full((1, 2, 3), -1.0)
+        w = jnp.zeros((2, 3, 4))
+        out = gnn_combine(z, z, z, w, w, w, jnp.full((2, 4), -2.0),
+                          activation=None)
+        np.testing.assert_allclose(np.asarray(out), -2.0)
+
+
+class TestHuber:
+    def test_matches_tf_definition(self):
+        # delta=1: quadratic inside, linear outside.
+        y = jnp.asarray([0.0, 0.0, 0.0, 0.0])
+        p = jnp.asarray([0.5, -0.5, 2.0, -3.0])
+        got = np.asarray(huber(y, p))
+        want = np.asarray([0.125, 0.125, 1.5, 2.5])
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        np.testing.assert_allclose(float(huber_mean(y, p)), want.mean(),
+                                   rtol=1e-6)
+
+    def test_dqn_loss_sums_heads(self):
+        rng = np.random.RandomState(5)
+        q = jnp.asarray(rng.randn(8, 4, 4).astype(np.float32))
+        t = jnp.asarray(rng.randn(8, 4, 4).astype(np.float32))
+        got = float(dqn_loss(q, t))
+        per_head = np.mean(np.asarray(huber(t, q)), axis=(0, 2))
+        np.testing.assert_allclose(got, per_head.sum(), rtol=1e-5)
+
+
+def np_model_forward(params, node, edge, adj, cfg):
+    """NumPy oracle of the full forward pass structured like the reference
+    graph (BS_brain.py:147-200): per-node GNN layers, kron-lifted AggLayer,
+    per-node decision MLPs."""
+    bsz, n, _ = node.shape
+    f = cfg.num_feedback
+    nbr = np.zeros((bsz, n, f), np.float32)
+    h = None
+    for r in range(cfg.gnn_rounds):
+        p = jax.tree.map(np.asarray, params["gnn"][r])
+        a_in = node if r == 0 else np.concatenate([h, node], axis=-1)
+        relu = r < cfg.gnn_rounds - 1
+        h = np.stack([np_gnn_layer(a_in[:, i], edge[:, i], nbr[:, i],
+                                   p["w1"][i], p["w2"][i], p["w3"][i],
+                                   p["b"][i], relu=relu)
+                      for i in range(n)], axis=1)
+        nbr = np_agg_layer_kron(h, np.broadcast_to(adj, (bsz, n, n)), f)
+    x = np.concatenate([node, h, nbr], axis=-1)
+    n_layers = len(params["head"])
+    for li, layer in enumerate(params["head"]):
+        p = jax.tree.map(np.asarray, layer)
+        x = np.stack([x[:, i] @ p["w"][i] + p["b"][i] for i in range(n)],
+                     axis=1)
+        if li < n_layers - 1:
+            x = np.maximum(x, 0)
+    return x
+
+
+class TestModel:
+    def test_shapes_and_determinism(self):
+        params = gnn_dqn.init_params(jax.random.PRNGKey(0), CFG)
+        node = jnp.ones((3, 4, 9))
+        edge = jnp.ones((3, 4, 4))
+        adj = jnp.ones((4, 4)) - jnp.eye(4)
+        q1 = gnn_dqn.apply(params, node, edge, adj, CFG)
+        q2 = gnn_dqn.apply(params, node, edge, adj, CFG)
+        assert q1.shape == (3, 4, 4)
+        np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
+
+    def test_forward_matches_numpy_oracle(self):
+        params = gnn_dqn.init_params(jax.random.PRNGKey(1), CFG)
+        rng = np.random.RandomState(6)
+        node = rng.randn(5, 4, 9).astype(np.float32)
+        edge = rng.randn(5, 4, 4).astype(np.float32)
+        adj = (np.ones((4, 4)) - np.eye(4)).astype(np.float32)
+        adj[2, 1] = 0.0
+        got = np.asarray(gnn_dqn.apply(params, jnp.asarray(node),
+                                       jnp.asarray(edge), jnp.asarray(adj),
+                                       CFG))
+        want = np_model_forward(params, node, edge, adj, CFG)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_glorot_init_ranges(self):
+        params = gnn_dqn.init_params(jax.random.PRNGKey(2), CFG)
+        w1 = np.asarray(params["gnn"][0]["w1"])    # [4, 9, 16]
+        limit = np.sqrt(6.0 / (9 + 16))
+        assert np.abs(w1).max() <= limit
+        assert np.abs(w1).max() > 0.5 * limit
+        assert np.all(np.asarray(params["gnn"][0]["b"]) == 0)
+
+    def test_per_node_weights_unshared(self):
+        # nodes with identical inputs must produce different outputs
+        # (per-node weights, reference BS_brain.py:121-164 has no sharing)
+        params = gnn_dqn.init_params(jax.random.PRNGKey(3), CFG)
+        node = jnp.ones((1, 4, 9))
+        edge = jnp.ones((1, 4, 4))
+        adj = jnp.zeros((4, 4))
+        q = np.asarray(gnn_dqn.apply(params, node, edge, adj, CFG))
+        assert not np.allclose(q[0, 0], q[0, 1])
+
+    def test_shared_weight_variant(self):
+        cfg = ModelConfig(share_weights=True)
+        params = gnn_dqn.init_params(jax.random.PRNGKey(4), cfg)
+        node = jnp.ones((2, 4, 9))
+        edge = jnp.ones((2, 4, 4))
+        adj = jnp.zeros((4, 4))
+        q = np.asarray(gnn_dqn.apply(params, node, edge, adj, cfg))
+        assert q.shape == (2, 4, 4)
+        # identical inputs + shared weights + empty graph -> identical outputs
+        np.testing.assert_allclose(q[0, 0], q[0, 1], rtol=1e-6)
+
+    def test_deeper_rounds(self):
+        cfg = ModelConfig(gnn_rounds=4)
+        params = gnn_dqn.init_params(jax.random.PRNGKey(5), cfg)
+        node = jnp.ones((2, 4, 9))
+        q = gnn_dqn.apply(params, node, jnp.ones((2, 4, 4)),
+                          jnp.ones((4, 4)) - jnp.eye(4), cfg)
+        assert q.shape == (2, 4, 4)
+
+    def test_update_target_copies(self):
+        params = gnn_dqn.init_params(jax.random.PRNGKey(6), CFG)
+        target = gnn_dqn.update_target(params)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(target)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_jit_compiles(self):
+        params = gnn_dqn.init_params(jax.random.PRNGKey(7), CFG)
+        fn = jax.jit(lambda p, n, e, a: gnn_dqn.apply(p, n, e, a, CFG))
+        q = fn(params, jnp.ones((2, 4, 9)), jnp.ones((2, 4, 4)),
+               jnp.ones((4, 4)))
+        assert q.shape == (2, 4, 4)
