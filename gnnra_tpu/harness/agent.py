@@ -1,0 +1,282 @@
+"""User-facing Agent runtime: train / test / evaluate harness.
+
+Mirrors the public surface of the reference `class Agent`
+(BS_brain.py:280-1451) — `train`, `test_run`,
+`evaluate_training_diff_trials` — on top of the jitted core in
+gnnra_tpu.agent.dqn. Host code only orchestrates episodes and checkpoints;
+every inner loop (50-transition rollout bursts, replay updates, whole test
+episodes including the 256-action brute-force optimal baseline) is a single
+compiled XLA program.
+"""
+
+from __future__ import annotations
+
+import datetime
+import itertools
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnnra_tpu.agent import dqn, policy
+from gnnra_tpu.config import RunConfig
+from gnnra_tpu.env import features, vehicular
+from gnnra_tpu.models import gnn_dqn
+from gnnra_tpu.utils import checkpoint as ckpt
+
+
+def enumerate_joint_actions(n_nodes: int, n_actions: int) -> jnp.ndarray:
+    """All joint channel assignments [A^N, N] (reference base-4 decode,
+    BS_brain.py:1067-1078, generalized to any N/A)."""
+    combos = list(itertools.product(range(n_actions), repeat=n_nodes))
+    return jnp.asarray(combos, jnp.int32)
+
+
+class Agent:
+    """Training/evaluation runtime for one RunConfig."""
+
+    def __init__(self, run_cfg: RunConfig, results_base: str = "results",
+                 seed: Optional[int] = None):
+        self.cfg = run_cfg
+        self.env_cfg = run_cfg.env
+        self.model_cfg = run_cfg.model
+        self.train_cfg = run_cfg.train
+        self.eval_cfg = run_cfg.eval
+        self.results_dir = ckpt.result_dir(results_base, run_cfg.train)
+        seed = run_cfg.train.seed if seed is None else seed
+        self.key = jax.random.PRNGKey(seed)
+        self.state = dqn.init_agent(self._next_key(), self.model_cfg,
+                                    self.train_cfg)
+        # jitted cores (configs are static)
+        self._train_step = jax.jit(dqn.train_step, static_argnums=(3, 4, 5, 6))
+        self._new_game = jax.jit(vehicular.new_random_game, static_argnums=1)
+        self._test_episode = jax.jit(self._test_episode_impl,
+                                     static_argnums=(3, 4, 5))
+
+    # ------------------------------------------------------------------
+    def _next_key(self) -> jax.Array:
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def _log(self, msg: str):
+        now = datetime.datetime.now().strftime("%Y/%m/%d %H:%M:%S")
+        print(f"[{now}] {msg}", flush=True)
+
+    # ------------------------------------------------------------------
+    # Training (reference Agent.train, BS_brain.py:750-910)
+    # ------------------------------------------------------------------
+    def train(self, num_episodes: Optional[int] = None,
+              num_train_steps: Optional[int] = None,
+              log_interval: int = 200) -> Dict[str, np.ndarray]:
+        tc = self.train_cfg
+        num_episodes = num_episodes or tc.num_episodes
+        num_train_steps = num_train_steps or tc.num_train_steps
+        n = self.model_cfg.n_nodes
+        total_env_steps = (num_episodes * num_train_steps
+                           * tc.transitions_per_step)
+
+        train_loss = np.ones((n, num_episodes, num_train_steps))
+        q_mean = np.zeros((n, num_episodes, num_train_steps))
+        q_max_mean = np.zeros((n, num_episodes, num_train_steps))
+        orig_q_mean = np.zeros((n, num_episodes, num_train_steps))
+        orig_q_max_mean = np.zeros((n, num_episodes, num_train_steps))
+        reward_per_step = np.zeros((num_episodes, num_train_steps,
+                                    tc.transitions_per_step))
+        reward_per_episode = np.zeros(num_episodes)
+
+        self._log(f"training: episodes={num_episodes} "
+                  f"steps={num_train_steps} batch={tc.batch_size} "
+                  f"gamma={tc.gamma} v2i_weight={tc.v2i_weight}")
+
+        for ep in range(num_episodes):
+            env_state = self._new_game(self._next_key(), self.env_cfg)
+            if (ep + 1) % log_interval == 0:
+                self._log(f"episode {ep + 1}/{num_episodes}")
+            for it in range(num_train_steps):
+                self.state, env_state, rewards, metrics = self._train_step(
+                    self.state, env_state, self._next_key(), self.env_cfg,
+                    self.model_cfg, tc, total_env_steps)
+                reward_per_step[ep, it] = np.asarray(rewards)
+                train_loss[:, ep, it] = np.asarray(metrics["loss_per_head"])
+                q_mean[:, ep, it] = np.asarray(metrics["q_mean"])
+                q_max_mean[:, ep, it] = np.asarray(metrics["q_max_mean"])
+                orig_q_mean[:, ep, it] = np.asarray(metrics["orig_q_mean"])
+                orig_q_max_mean[:, ep, it] = np.asarray(
+                    metrics["orig_q_max_mean"])
+            reward_per_episode[ep] = reward_per_step[ep].sum()
+
+            if (ep + 1) % tc.save_model_interval == 0:
+                self.save_checkpoint(ep + 1)
+
+        return {
+            "train_loss": train_loss,
+            "reward_per_train_step": reward_per_step,
+            "reward_per_episode": reward_per_episode,
+            "train_q_mean": q_mean,
+            "train_q_max_mean": q_max_mean,
+            "orig_train_q_mean": orig_q_mean,
+            "orig_train_q_max_mean": orig_q_max_mean,
+        }
+
+    # ------------------------------------------------------------------
+    # Checkpointing (reference BS_brain.py:853-869 / 1244-1256)
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, episode: int):
+        path = ckpt.checkpoint_path(self.results_dir, episode)
+        ckpt.save(path, self.state.params, self.state.target_params,
+                  self.state.opt_state, episode=episode,
+                  env_step=np.asarray(self.state.env_step))
+
+    def load_checkpoint(self, episode: int):
+        path = ckpt.checkpoint_path(self.results_dir, episode)
+        params, target, opt, scalars = ckpt.load(
+            path, self.state.params, self.state.target_params,
+            self.state.opt_state)
+        self.state = self.state.replace(
+            params=params, target_params=target,
+            opt_state=opt if opt is not None else self.state.opt_state)
+        if "env_step" in scalars:
+            self.state = self.state.replace(
+                env_step=jnp.asarray(scalars["env_step"], jnp.int32))
+
+    # ------------------------------------------------------------------
+    # Testing (reference Agent.test_run, BS_brain.py:986-1162)
+    # ------------------------------------------------------------------
+    def _test_episode_impl(self, params, env_state, key, opt_flag: bool,
+                           fixed_epsilon: float, num_steps: int):
+        """One whole test episode under jit: per step compute the RA
+        baseline, optionally the brute-force optimum over all joint actions,
+        then the (fixed-epsilon-)greedy RL action which advances the env."""
+        ec, mc, tc = self.env_cfg, self.model_cfg, self.train_cfg
+        n, n_act = mc.n_nodes, mc.n_actions
+        w_v2v, w_v2i = tc.v2v_weight, tc.v2i_weight
+        all_actions = (enumerate_joint_actions(n, n_act)
+                       if opt_flag else None)
+
+        def step(env_state, k):
+            k_ra, k_eps, k_rand, k_env = jax.random.split(k, 4)
+            node, edge = features.node_edge_features(env_state, ec)
+            adj = features.adjacency(env_state, ec)
+
+            # Random-Action baseline (dump_act: no state change)
+            ra_actions = policy.random_actions(k_ra, n, n_act)
+            ra_v2v, ra_v2i, ra_intf = vehicular.dump_act(
+                env_state, ra_actions[:, None], ec)
+            ra_reward = (w_v2v * jnp.sum(ra_v2v) + w_v2i * jnp.sum(ra_v2i))
+
+            # Brute-force optimal baseline over all A^N joint actions
+            if opt_flag:
+                bf_v2v, bf_v2i, bf_intf = jax.vmap(
+                    lambda a: vehicular.dump_act(env_state, a[:, None], ec)
+                )(all_actions)
+                bf_rewards = (w_v2v * jnp.sum(bf_v2v, axis=(1, 2))
+                              + w_v2i * jnp.sum(bf_v2i, axis=1))
+                opt_idx = jnp.argmax(bf_rewards)
+                opt = {"reward": bf_rewards[opt_idx],
+                       "action_index": opt_idx,
+                       "v2v_rate": jnp.sum(bf_v2v[opt_idx], axis=1),
+                       "v2i_rate": bf_v2i[opt_idx],
+                       "interference": bf_intf[opt_idx]}
+            else:
+                opt = {}
+
+            # RL action: greedy, with optional fixed-epsilon exploration
+            # (reference evaluator, BS_brain.py:1386-1406)
+            q = gnn_dqn.apply_single(params, node, edge, adj, mc)
+            greedy = policy.greedy_actions(q)
+            rand = policy.random_actions(k_rand, n, n_act)
+            explore = jax.random.uniform(k_eps) < fixed_epsilon
+            actions = jnp.where(explore, rand, greedy)
+            env_state, v2v, v2i, intf = vehicular.act(
+                env_state, actions[:, None], k_env, ec)
+            reward = w_v2v * jnp.sum(v2v) + w_v2i * jnp.sum(v2i)
+
+            out = {"reward": reward, "v2v_rate": jnp.sum(v2v, axis=1),
+                   "v2i_rate": v2i, "interference": intf,
+                   "ra_reward": ra_reward,
+                   "ra_v2v_rate": jnp.sum(ra_v2v, axis=1),
+                   "ra_v2i_rate": ra_v2i, "ra_interference": ra_intf}
+            out.update({f"opt_{k2}": v for k2, v in opt.items()})
+            return env_state, out
+
+        keys = jax.random.split(key, num_steps)
+        _, traj = jax.lax.scan(step, env_state, keys)
+        return traj
+
+    def test_run(self, num_episodes: Optional[int] = None,
+                 num_test_steps: Optional[int] = None,
+                 opt_flag: Optional[bool] = None,
+                 log_interval: int = 200) -> Dict[str, np.ndarray]:
+        """Greedy evaluation vs Random-Action (and optionally brute-force
+        Optimal); returns per-episode/step metric arrays with the reference's
+        semantics (BS_brain.py:996-1162)."""
+        ev = self.eval_cfg
+        num_episodes = num_episodes or ev.num_episodes
+        num_test_steps = num_test_steps or ev.num_test_steps
+        opt_flag = ev.opt_flag if opt_flag is None else opt_flag
+
+        results = []
+        for ep in range(num_episodes):
+            env_state = self._new_game(self._next_key(), self.env_cfg)
+            traj = self._test_episode(self.state.params, env_state,
+                                      self._next_key(), opt_flag, 0.0,
+                                      num_test_steps)
+            results.append(jax.tree.map(np.asarray, traj))
+            if (ep + 1) % log_interval == 0:
+                self._log(f"test episode {ep + 1}/{num_episodes}")
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *results)
+        stacked["expect_return"] = stacked["reward"].sum(axis=1)
+        stacked["ra_expect_return"] = stacked["ra_reward"].sum(axis=1)
+        if opt_flag:
+            stacked["opt_expect_return"] = stacked["opt_reward"].sum(axis=1)
+        return stacked
+
+    # ------------------------------------------------------------------
+    # Checkpoint-history evaluation (reference
+    # Agent.evaluate_training_diff_trials, BS_brain.py:1164-1451)
+    # ------------------------------------------------------------------
+    def evaluate_training_diff_trials(
+            self, num_episodes: Optional[int] = None,
+            num_test_steps: Optional[int] = None, opt_flag: bool = False,
+            fixed_epsilon: Optional[float] = None,
+            num_trials: Optional[int] = None) -> Dict[str, np.ndarray]:
+        """For each trial and each saved checkpoint (every
+        `evaluation_episode_interval` training episodes), run one
+        fixed-epsilon episode vs the RA baseline with a per-trial seed.
+        Returns per-(trial, checkpoint) return matrices."""
+        ev = self.eval_cfg
+        interval = ev.evaluation_episode_interval
+        num_episodes = num_episodes or self.train_cfg.num_episodes
+        num_ckpts = num_episodes // interval
+        fixed_epsilon = (ev.fixed_epsilon if fixed_epsilon is None
+                         else fixed_epsilon)
+        num_trials = num_trials or ev.num_trials
+        num_test_steps = num_test_steps or ev.num_test_steps
+
+        ret = np.zeros((num_trials, num_ckpts))
+        ra_ret = np.zeros((num_trials, num_ckpts))
+        opt_ret = np.zeros(num_trials)
+
+        for trial in range(num_trials):
+            self._log(f"evaluate trial {trial + 1}/{num_trials}")
+            for ci in range(num_ckpts):
+                episode = (ci + 1) * interval
+                self.load_checkpoint(episode)
+                # per-trial fixed seed (reference BS_brain.py:1262-1266)
+                key = jax.random.PRNGKey(trial + 1)
+                k_game, k_ep = jax.random.split(jax.random.fold_in(key, ci))
+                env_state = self._new_game(k_game, self.env_cfg)
+                traj = self._test_episode(self.state.params, env_state, k_ep,
+                                          opt_flag and ci == 0, fixed_epsilon,
+                                          num_test_steps)
+                traj = jax.tree.map(np.asarray, traj)
+                ret[trial, ci] = traj["reward"].sum()
+                ra_ret[trial, ci] = traj["ra_reward"].sum()
+                if ci == 0 and "opt_reward" in traj:
+                    opt_ret[trial] = traj["opt_reward"].sum()
+
+        return {"evaluation_return_per_episode": ret,
+                "ra_expect_return": ra_ret,
+                "opt_expect_return": opt_ret}
