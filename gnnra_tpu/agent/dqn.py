@@ -109,6 +109,53 @@ def rollout(agent: AgentState, env_state: vehicular.EnvState, key: jax.Array,
     return agent.replace(replay=rep, env_step=env_step), env_state, rewards
 
 
+def rollout_batched(agent: AgentState, env_states: vehicular.EnvState,
+                    key: jax.Array, env_cfg: EnvConfig,
+                    model_cfg: ModelConfig, train_cfg: TrainConfig,
+                    total_env_steps: int
+                    ) -> Tuple[AgentState, vehicular.EnvState, jax.Array]:
+    """Vectorized rollout over E parallel environments (config 3).
+
+    Each scan step advances every env with its own epsilon-greedy action from
+    one batched forward pass (E is just the batch axis of the model), then
+    all E transitions are appended to the replay ring. env_step advances by 1
+    per scan step so the epsilon schedule matches the single-env reference.
+
+    Args:
+      env_states: EnvState pytree with a leading [E] axis.
+    Returns (agent', env_states', rewards [T, E]).
+    """
+
+    def body(carry, k):
+        env_states, rep, env_step = carry
+        node, edge = jax.vmap(
+            lambda s: features.node_edge_features(s, env_cfg))(env_states)
+        adj = jax.vmap(lambda s: features.adjacency(s, env_cfg))(env_states)
+        q = gnn_dqn.apply(agent.params, node, edge, adj, model_cfg)  # [E,N,A]
+        eps = policy.epsilon_at(env_step, total_env_steps, train_cfg)
+        n_envs = q.shape[0]
+        k_act, k_env = jax.random.split(k)
+        act_keys = jax.random.split(k_act, n_envs)
+        actions, _ = jax.vmap(policy.epsilon_greedy,
+                              in_axes=(0, 0, None))(act_keys, q, eps)
+        env_keys = jax.random.split(k_env, n_envs)
+        env_states, v2v_rate, v2i_rate, _ = jax.vmap(
+            lambda s, a, kk: vehicular.act(s, a[:, None], kk, env_cfg)
+        )(env_states, actions, env_keys)
+        rewards = jax.vmap(
+            lambda v, i: _weighted_reward(v, i, train_cfg))(v2v_rate, v2i_rate)
+        next_node, next_edge = jax.vmap(
+            lambda s: features.node_edge_features(s, env_cfg))(env_states)
+        rep = replay_lib.add_batch(rep, node, edge, adj, actions, rewards,
+                                   next_node, next_edge)
+        return (env_states, rep, env_step + 1), rewards
+
+    keys = jax.random.split(key, train_cfg.transitions_per_step)
+    (env_states, rep, env_step), rewards = jax.lax.scan(
+        body, (env_states, agent.replay, agent.env_step), keys)
+    return agent.replace(replay=rep, env_step=env_step), env_states, rewards
+
+
 # ---------------------------------------------------------------------------
 # Replay / learning step
 # ---------------------------------------------------------------------------
@@ -126,14 +173,19 @@ def bellman_targets(q_online_s, q_target_sp, actions, rewards,
     return q_online_s * (1.0 - onehot) + boot[..., None] * onehot
 
 
-def replay_update(agent: AgentState, key: jax.Array, model_cfg: ModelConfig,
-                  train_cfg: TrainConfig
-                  ) -> Tuple[AgentState, Dict[str, jax.Array]]:
-    """One learning step from replay (reference `Agent.replay`,
-    BS_brain.py:555-748). Returns (agent', metrics) with the reference's
-    metric semantics: per-head loss, target-Q mean/max, online-Q mean/max."""
-    idx = replay_lib.sample_indices(agent.replay, key, train_cfg.batch_size,
-                                    train_cfg)
+def compute_replay_grads(agent: AgentState, key: jax.Array,
+                         model_cfg: ModelConfig, train_cfg: TrainConfig,
+                         batch_size: int, axis_name: str | None = None
+                         ) -> Tuple[Any, Dict[str, jax.Array]]:
+    """Sample a batch from (the local shard of) replay and compute loss
+    gradients + metrics (reference semantics: BS_brain.py:555-748).
+
+    When `axis_name` is given (inside shard_map), the loss is `pmean`ed over
+    that mesh axis *inside* the differentiated function, so the returned
+    gradients are exactly the gradients of the global mean loss — shard_map's
+    varying-axis autodiff then keeps them replicated without any manual
+    gradient allreduce."""
+    idx = replay_lib.sample_indices(agent.replay, key, batch_size, train_cfg)
     node, edge, adj, action, reward, next_node, next_edge = \
         replay_lib.gather(agent.replay, idx)
 
@@ -147,13 +199,12 @@ def replay_update(agent: AgentState, key: jax.Array, model_cfg: ModelConfig,
     def loss_fn(params):
         q = gnn_dqn.apply(params, node, edge, adj, model_cfg)
         per_head = jnp.mean(losses.huber(y, q), axis=(0, 2))  # [N]
+        if axis_name is not None:
+            per_head = jax.lax.pmean(per_head, axis_name)
         return jnp.sum(per_head), per_head
 
     (loss, per_head_loss), grads = jax.value_and_grad(
         loss_fn, has_aux=True)(agent.params)
-    updates, opt_state = make_optimizer(train_cfg).update(
-        grads, agent.opt_state, agent.params)
-    params = optax.apply_updates(agent.params, updates)
 
     n_actions = q_s.shape[-1]
     metrics = {
@@ -164,7 +215,27 @@ def replay_update(agent: AgentState, key: jax.Array, model_cfg: ModelConfig,
         "orig_q_mean": jnp.mean(jnp.sum(q_s, axis=-1) / n_actions, axis=0),
         "orig_q_max_mean": jnp.mean(jnp.max(q_s, axis=-1), axis=0),
     }
-    return agent.replace(params=params, opt_state=opt_state), metrics
+    return grads, metrics
+
+
+def apply_grads(agent: AgentState, grads: Any,
+                train_cfg: TrainConfig) -> AgentState:
+    """One Adam step (Adam(1e-3, beta1=0.5), reference BS_brain.py:212-214)."""
+    updates, opt_state = make_optimizer(train_cfg).update(
+        grads, agent.opt_state, agent.params)
+    params = optax.apply_updates(agent.params, updates)
+    return agent.replace(params=params, opt_state=opt_state)
+
+
+def replay_update(agent: AgentState, key: jax.Array, model_cfg: ModelConfig,
+                  train_cfg: TrainConfig
+                  ) -> Tuple[AgentState, Dict[str, jax.Array]]:
+    """One learning step from replay (reference `Agent.replay`,
+    BS_brain.py:555-748). Returns (agent', metrics) with the reference's
+    metric semantics: per-head loss, target-Q mean/max, online-Q mean/max."""
+    grads, metrics = compute_replay_grads(agent, key, model_cfg, train_cfg,
+                                          train_cfg.batch_size)
+    return apply_grads(agent, grads, train_cfg), metrics
 
 
 def maybe_sync_target(agent: AgentState, train_cfg: TrainConfig) -> AgentState:

@@ -1,0 +1,101 @@
+"""GSPMD training: full train step under jit with sharding annotations.
+
+Complement to the explicit shard_map path (parallel/dp.py): here we place the
+train state on a 2D ('data', 'model') mesh with `jax.device_put` +
+NamedSharding and let XLA's SPMD partitioner insert the collectives —
+gradient allreduce over 'data' (DP), and tensor-parallel resharding of the
+per-node Q-head weights over 'model' (TP). Computation follows data: a plain
+`jax.jit` of the same single-device train step code runs partitioned.
+
+TP axis choice: the decision-MLP hidden dims (80/40/20, reference
+BS_brain.py:176-178) and the GNN feature dim are sharded on their output
+feature axis; with the parity model these are small, but the same spec scales
+to the widened configs (BASELINE.json config 2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gnnra_tpu.agent import dqn
+from gnnra_tpu.config import EnvConfig, ModelConfig, TrainConfig
+from gnnra_tpu.env import vehicular
+
+
+def param_specs(params: Any, model_axis: str = "model") -> Any:
+    """PartitionSpecs for the parameter pytree: shard every weight's output
+    feature axis over the model axis, biases likewise."""
+
+    def spec_for(path, leaf):
+        del path
+        ndim = leaf.ndim
+        if ndim == 0:
+            return P()
+        # shard the trailing (output-feature) axis
+        return P(*([None] * (ndim - 1) + [model_axis]))
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_train_state(agent: dqn.AgentState, env_states: vehicular.EnvState,
+                      mesh: Mesh, data_axis: str = "data",
+                      model_axis: str = "model"
+                      ) -> Tuple[dqn.AgentState, vehicular.EnvState]:
+    """device_put the state: params/opt TP-sharded over `model_axis`,
+    replay + envs DP-sharded over `data_axis`."""
+
+    def put(tree, specs):
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            tree, specs)
+
+    p_specs = param_specs(agent.params, model_axis)
+    params = put(agent.params, p_specs)
+    target = put(agent.target_params, p_specs)
+    # optimizer state mirrors param shapes where leaves match; everything
+    # else is replicated
+    def opt_spec(leaf):
+        return P(*([None] * (leaf.ndim - 1) + [model_axis])) \
+            if leaf.ndim >= 1 else P()
+    opt_state = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, opt_spec(x))),
+        agent.opt_state)
+
+    def replay_spec(leaf):
+        return P(data_axis) if leaf.ndim >= 1 else P()
+    rep = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, replay_spec(x))),
+        agent.replay)
+
+    env_sharded = jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P(data_axis) if x.ndim >= 1 else P())),
+        env_states)
+
+    agent = agent.replace(params=params, target_params=target,
+                          opt_state=opt_state, replay=rep)
+    return agent, env_sharded
+
+
+def make_spmd_train_step(env_cfg: EnvConfig, model_cfg: ModelConfig,
+                         train_cfg: TrainConfig, total_env_steps: int):
+    """Jitted (agent, env_states [E, ...], key) -> (agent', env_states',
+    rewards, metrics); partitioning follows the input shardings."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(agent: dqn.AgentState, env_states: vehicular.EnvState,
+             key: jax.Array):
+        k_roll, k_replay = jax.random.split(key)
+        agent, env_states, rewards = dqn.rollout_batched(
+            agent, env_states, k_roll, env_cfg, model_cfg, train_cfg,
+            total_env_steps)
+        agent, metrics = dqn.replay_update(agent, k_replay, model_cfg,
+                                           train_cfg)
+        agent = dqn.maybe_sync_target(agent, train_cfg)
+        return agent, env_states, rewards, metrics
+
+    return step
