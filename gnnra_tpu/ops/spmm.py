@@ -1,0 +1,225 @@
+"""Sparse neighborhood aggregation: SpMM / SDDMM, jnp reference + Pallas.
+
+The hot op of any scaled interference-GNN (BASELINE.json north star): for a
+graph A (edges s -> r with weight w),
+
+  SpMM:   out[r, :] = sum_{e: recv_e = r} w_e * h[send_e, :]
+  SDDMM:  out[e] = <a[send_e, :], b[recv_e, :]>   (edge scores / weight grads)
+
+TPU-native design (gnnra_tpu.graph.BlockedGraph): edges are grouped by
+receiver block (R_BLOCK rows) and padded to a uniform per-block budget; the
+segment reduction for a block is then
+
+  out_block = (w * onehot(recv_local))^T @ msgs          [R_BLOCK, F]
+
+— a dense matmul on the MXU with the one-hot indicator built in-registers
+from an iota compare (never touching HBM). The Pallas kernel fuses edge
+weighting + indicator construction + reduction; XLA performs the row gather
+`h[senders]` (its native gather is already bandwidth-bound for random rows).
+
+The backward pass is the same SpMM on the transposed graph:
+  dL/dh[s] = sum_{e: send_e = s} w_e * g[recv_e]
+so `make_spmm` closes over (forward, transpose) blocked layouts and wires a
+custom VJP; `aggregate_sparse` (plain segment-sum) remains the semantic
+oracle, asserted in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+
+from gnnra_tpu.graph import BlockedGraph, COOGraph
+
+Impl = Literal["jnp", "pallas", "pallas_interpret"]
+
+
+# ---------------------------------------------------------------------------
+# Reference (oracle) implementations
+# ---------------------------------------------------------------------------
+
+def spmm_coo(h: jax.Array, graph: COOGraph) -> jax.Array:
+    """Segment-sum SpMM oracle: out[r] = sum w_e * h[s_e]. Returns [N, F]."""
+    msgs = h[graph.senders] * graph.weights[:, None]
+    return jax.ops.segment_sum(msgs, graph.receivers,
+                               num_segments=graph.num_nodes)
+
+
+def sddmm_coo(a: jax.Array, b: jax.Array, graph: COOGraph) -> jax.Array:
+    """SDDMM oracle: out[e] = <a[s_e], b[r_e]>. Returns [E]."""
+    return jnp.sum(a[graph.senders] * b[graph.receivers], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Blocked implementations (jnp fallback + Pallas kernel)
+# ---------------------------------------------------------------------------
+
+def _gather_msgs(h: jax.Array, blocked: BlockedGraph) -> jax.Array:
+    """XLA row gather: [B, E_BLOCK, F]."""
+    return h[blocked.senders]
+
+
+def _spmm_blocked_jnp(h: jax.Array, blocked: BlockedGraph) -> jax.Array:
+    """Pure-jnp blocked SpMM (same math as the kernel; used as oracle and as
+    CPU fallback). Returns [num_nodes, F]."""
+    msgs = _gather_msgs(h, blocked)                      # [B, E, F]
+    r_ids = jnp.arange(blocked.r_block)
+    onehot = (blocked.recv_local[:, :, None] == r_ids[None, None, :])
+    m = onehot.astype(h.dtype) * blocked.weights[:, :, None].astype(h.dtype)
+    out = jnp.einsum("ber,bef->brf", m, msgs,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(blocked.num_nodes_padded, -1)[:blocked.num_nodes]
+
+
+def _seg_reduce_kernel(recv_ref, w_ref, msgs_ref, out_ref):
+    """Per-receiver-block segment reduction on the MXU.
+
+    recv_ref: [1, 1, E] int32, w_ref: [1, 1, E] f32, msgs_ref: [1, E, F],
+    out_ref: [1, R, F]. (Per-edge vectors carry a dummy sublane axis so the
+    block shape matches the TPU (sublane, lane) tiling rules.)
+    """
+    e = recv_ref.shape[-1]
+    r = out_ref.shape[1]
+    recv = recv_ref[0, 0, :]                             # [E]
+    w = w_ref[0, 0, :]                                   # [E]
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, (e, r), 1)
+    onehot = (recv[:, None] == r_ids).astype(msgs_ref.dtype)
+    m = onehot * w[:, None].astype(msgs_ref.dtype)       # [E, R]
+    out = jax.lax.dot_general(
+        m, msgs_ref[0, :, :],
+        dimension_numbers=(((0,), (0,)), ((), ())),      # m^T @ msgs
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    out_ref[0, :, :] = out.astype(out_ref.dtype)
+
+
+def _spmm_blocked_pallas(h: jax.Array, blocked: BlockedGraph,
+                         interpret: bool = False) -> jax.Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    msgs = _gather_msgs(h, blocked)                      # [B, E, F]
+    b, e = blocked.senders.shape
+    f = h.shape[-1]
+    r = blocked.r_block
+    grid = (b,)
+    flops = 2 * b * e * r * f
+    out = pl.pallas_call(
+        _seg_reduce_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, e), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, e), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, e, f), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, r, f), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, r, f), h.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=msgs.size * 4 + b * r * f * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(blocked.recv_local[:, None, :], blocked.weights[:, None, :], msgs)
+    return out.reshape(blocked.num_nodes_padded, f)[:blocked.num_nodes]
+
+
+def spmm_blocked(h: jax.Array, blocked: BlockedGraph,
+                 impl: Impl = "pallas") -> jax.Array:
+    """Non-differentiable blocked SpMM; see `make_spmm` for the VJP'd op."""
+    if impl == "jnp":
+        return _spmm_blocked_jnp(h, blocked)
+    return _spmm_blocked_pallas(h, blocked,
+                                interpret=(impl == "pallas_interpret"))
+
+
+def make_spmm(fwd_blocked: BlockedGraph, bwd_blocked: BlockedGraph,
+              impl: Impl = "pallas"):
+    """Differentiable SpMM closed over (forward, transposed) blocked layouts.
+
+    fwd_blocked: block_by_receiver(graph)
+    bwd_blocked: block_by_receiver(graph.transpose()) — used for dL/dh.
+    """
+
+    @jax.custom_vjp
+    def spmm(h):
+        return spmm_blocked(h, fwd_blocked, impl)
+
+    def fwd(h):
+        return spmm(h), None
+
+    def bwd(_, g):
+        return (spmm_blocked(g, bwd_blocked, impl),)
+
+    spmm.defvjp(fwd, bwd)
+    return spmm
+
+
+# ---------------------------------------------------------------------------
+# SDDMM
+# ---------------------------------------------------------------------------
+
+def _sddmm_kernel(recv_ref, a_ref, b_ref, out_ref):
+    """Per-block SDDMM: gather b rows via onehot matmul (MXU), then a
+    row-wise dot (VPU). a_ref: [1, 1, E] local receiver ids; a_ref/b_ref as
+    below; out_ref: [1, 1, E]."""
+    e = recv_ref.shape[-1]
+    r = b_ref.shape[1]
+    recv = recv_ref[0, 0, :]
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, (e, r), 1)
+    onehot = (recv[:, None] == r_ids).astype(b_ref.dtype)
+    b_rows = jax.lax.dot_general(
+        onehot, b_ref[0, :, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [E, F]
+    out_ref[0, 0, :] = jnp.sum(a_ref[0, :, :] * b_rows, axis=-1).astype(
+        out_ref.dtype)
+
+
+def sddmm_blocked(a: jax.Array, b: jax.Array, blocked: BlockedGraph,
+                  impl: Impl = "pallas") -> jax.Array:
+    """Blocked SDDMM: edge scores for the receiver-blocked layout.
+
+    Returns [B, E_BLOCK] scores (padding edges produce garbage only where
+    weights are 0 — mask with blocked.weights != 0 if needed).
+    """
+    a_g = a[blocked.senders]                             # [B, E, F]
+    bm, e = blocked.senders.shape
+    f = a.shape[-1]
+    r = blocked.r_block
+    b_pad = jnp.zeros((blocked.num_nodes_padded, f), b.dtype
+                      ).at[:b.shape[0]].set(b)
+    b_blocks = b_pad.reshape(bm, r, f)
+
+    if impl == "jnp":
+        r_ids = jnp.arange(r)
+        onehot = (blocked.recv_local[:, :, None] == r_ids[None, None, :]
+                  ).astype(b.dtype)
+        b_rows = jnp.einsum("ber,brf->bef", onehot, b_blocks)
+        return jnp.sum(a_g * b_rows, axis=-1)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    out = pl.pallas_call(
+        _sddmm_kernel,
+        grid=(bm,),
+        in_specs=[
+            pl.BlockSpec((1, 1, e), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, e, f), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, f), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, e), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bm, 1, e), jnp.float32),
+        interpret=(impl == "pallas_interpret"),
+    )(blocked.recv_local[:, None, :], a_g, b_blocks)
+    return out[:, 0, :]

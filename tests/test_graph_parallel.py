@@ -1,0 +1,42 @@
+"""Tests: multi-chip edge-partitioned SpMM (psum + ring halo exchange)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnnra_tpu import graph as graph_lib
+from gnnra_tpu.ops import spmm
+from gnnra_tpu.parallel import graph_parallel, mesh as mesh_lib
+
+
+def test_partitioned_spmm_matches_oracle():
+    g = graph_lib.random_graph(jax.random.PRNGKey(0), 500, 4000)
+    m = mesh_lib.make_mesh()
+    shards = [graph_lib.block_by_receiver(s, r_block=128, e_block=256)
+              for s in graph_lib.partition_edges(g, 8)]
+    op = graph_parallel.make_partitioned_spmm(m, shards, g.num_nodes)
+    h = jax.random.normal(jax.random.PRNGKey(1), (500, 32))
+    got = np.asarray(op(h))
+    want = np.asarray(spmm.spmm_coo(h, g))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_ring_spmm_matches_oracle():
+    n, e, f = 700, 5000, 16
+    g = graph_lib.random_graph(jax.random.PRNGKey(2), n, e)
+    m = mesh_lib.make_mesh()
+    part = graph_parallel.partition_for_ring(g, num_devices=8, r_block=128)
+    n_pad = part.num_devices * part.nodes_per_device
+    op = graph_parallel.make_ring_spmm(m, part, f)
+    h = jax.random.normal(jax.random.PRNGKey(3), (n, f))
+    h_pad = jnp.zeros((n_pad, f)).at[:n].set(h)
+    got = np.asarray(op(h_pad))[:n]
+    want = np.asarray(spmm.spmm_coo(h, g))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_ring_partition_preserves_all_edges():
+    g = graph_lib.random_graph(jax.random.PRNGKey(4), 300, 2000)
+    part = graph_parallel.partition_for_ring(g, num_devices=4, r_block=64)
+    w = np.asarray(part.weights)
+    assert (w != 0).sum() == 2000

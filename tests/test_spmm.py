@@ -1,0 +1,118 @@
+"""Tests: graph containers + blocked/Pallas SpMM + SDDMM vs segment-sum
+oracles. Pallas runs in interpreter mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnnra_tpu import graph as graph_lib
+from gnnra_tpu.ops import spmm
+
+
+def make_graph(seed=0, n=200, e=1000, weighted=True):
+    return graph_lib.random_graph(jax.random.PRNGKey(seed), n, e,
+                                  weighted=weighted)
+
+
+class TestGraph:
+    def test_random_graph_shapes(self):
+        g = make_graph()
+        assert g.num_edges == 1000
+        assert np.asarray(g.senders).max() < 200
+
+    def test_transpose(self):
+        g = make_graph()
+        t = g.transpose()
+        np.testing.assert_array_equal(np.asarray(t.senders),
+                                      np.asarray(g.receivers))
+
+    def test_from_dense_roundtrip(self):
+        rng = np.random.RandomState(0)
+        adj = (rng.rand(10, 10) < 0.3) * rng.rand(10, 10)
+        g = graph_lib.from_dense_adjacency(adj)
+        h = jnp.asarray(rng.randn(10, 4), jnp.float32)
+        got = np.asarray(spmm.spmm_coo(h, g))
+        want = np.asarray(h).T @ adj          # out[r] = sum_s adj[s,r] h[s]
+        np.testing.assert_allclose(got, want.T, rtol=1e-4, atol=1e-5)
+
+    def test_block_by_receiver_covers_all_edges(self):
+        g = make_graph(n=300, e=2000)
+        blocked = graph_lib.block_by_receiver(g, r_block=128)
+        assert blocked.num_blocks == 3          # ceil(300/128)
+        assert blocked.num_nodes_padded == 384
+        # sum of nonzero weights equals edge count (weights>0 here)
+        w = np.asarray(blocked.weights)
+        assert (w > 0).sum() == 2000
+
+    def test_partition_edges(self):
+        g = make_graph(n=100, e=999)
+        shards = graph_lib.partition_edges(g, 4)
+        assert len(shards) == 4
+        total = sum(int((np.asarray(s.weights) != 0).sum()) for s in shards)
+        assert total == 999
+
+
+class TestSpmmBlocked:
+    @pytest.mark.parametrize("impl", ["jnp", "pallas_interpret"])
+    def test_matches_segment_sum_oracle(self, impl):
+        g = make_graph(seed=1, n=300, e=2000)
+        blocked = graph_lib.block_by_receiver(g, r_block=128)
+        h = jax.random.normal(jax.random.PRNGKey(2), (300, 64))
+        got = np.asarray(spmm.spmm_blocked(h, blocked, impl=impl))
+        want = np.asarray(spmm.spmm_coo(h, g))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_unweighted(self):
+        g = make_graph(seed=3, n=150, e=600, weighted=False)
+        blocked = graph_lib.block_by_receiver(g, r_block=128)
+        h = jax.random.normal(jax.random.PRNGKey(4), (150, 32))
+        got = np.asarray(spmm.spmm_blocked(h, blocked, impl="jnp"))
+        want = np.asarray(spmm.spmm_coo(h, g))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("impl", ["jnp", "pallas_interpret"])
+    def test_custom_vjp_matches_autodiff_oracle(self, impl):
+        g = make_graph(seed=5, n=100, e=500)
+        fwd_b = graph_lib.block_by_receiver(g, r_block=64)
+        bwd_b = graph_lib.block_by_receiver(g.transpose(), r_block=64)
+        op = spmm.make_spmm(fwd_b, bwd_b, impl=impl)
+        h = jax.random.normal(jax.random.PRNGKey(6), (100, 16))
+
+        def loss_ours(h):
+            return jnp.sum(jnp.sin(op(h)))
+
+        def loss_oracle(h):
+            return jnp.sum(jnp.sin(spmm.spmm_coo(h, g)))
+
+        np.testing.assert_allclose(float(loss_ours(h)),
+                                   float(loss_oracle(h)), rtol=1e-4)
+        g_ours = np.asarray(jax.grad(loss_ours)(h))
+        g_want = np.asarray(jax.grad(loss_oracle)(h))
+        np.testing.assert_allclose(g_ours, g_want, rtol=1e-3, atol=1e-4)
+
+    def test_jit_compiles(self):
+        g = make_graph(seed=7, n=128, e=512)
+        fwd_b = graph_lib.block_by_receiver(g, r_block=128)
+        bwd_b = graph_lib.block_by_receiver(g.transpose(), r_block=128)
+        op = jax.jit(spmm.make_spmm(fwd_b, bwd_b, impl="jnp"))
+        out = op(jnp.ones((128, 8)))
+        assert out.shape == (128, 8)
+
+
+class TestSddmm:
+    @pytest.mark.parametrize("impl", ["jnp", "pallas_interpret"])
+    def test_matches_oracle(self, impl):
+        g = make_graph(seed=8, n=200, e=800)
+        blocked = graph_lib.block_by_receiver(g, r_block=128)
+        a = jax.random.normal(jax.random.PRNGKey(9), (200, 32))
+        b = jax.random.normal(jax.random.PRNGKey(10), (200, 32))
+        got = np.asarray(spmm.sddmm_blocked(a, b, blocked, impl=impl))
+        # oracle on the blocked layout: score for each non-padding edge
+        want_coo = np.asarray(spmm.sddmm_coo(a, b, g))
+        # map: blocked edges are the COO edges sorted by receiver block
+        recv = np.asarray(g.receivers)
+        order = np.argsort(recv // 128, kind="stable")
+        mask = np.asarray(blocked.weights) != 0
+        np.testing.assert_allclose(got[mask], want_coo[order], rtol=1e-3,
+                                   atol=1e-3)
