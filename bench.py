@@ -49,17 +49,21 @@ def main():
     env_state = vehicular.new_random_game(jax.random.PRNGKey(1), env_cfg)
 
     # --- fused TPU-native train step -------------------------------------
-    step = jax.jit(dqn.train_step, static_argnums=(3, 4, 5, 6))
+    step = jax.jit(dqn.train_step, static_argnums=(3, 4, 5, 6),
+                   donate_argnums=(0, 1))
 
     def run_step(agent, env_state, k):
         a, e, _, m = step(agent, env_state, k, env_cfg, model_cfg, train_cfg,
                           total_steps)
         return a, e, m["loss"]
 
-    # warmup (fills replay too)
-    agent, env_state, _ = run_step(agent, env_state, jax.random.PRNGKey(2))
-    jax.block_until_ready(agent.params)
-    n_iters = 20
+    # warmup (compiles, fills replay, and warms the runtime dispatch path —
+    # the first ~20 dispatches can be an order of magnitude slower)
+    for i in range(25):
+        agent, env_state, loss = run_step(agent, env_state,
+                                          jax.random.fold_in(key, 1000 + i))
+    jax.block_until_ready(loss)
+    n_iters = 100
     t0 = time.perf_counter()
     for i in range(n_iters):
         agent, env_state, loss = run_step(agent, env_state,
@@ -93,7 +97,9 @@ def main():
         return agent2, env_state, m["loss"]
 
     # warmup
-    _, env_state, l0 = proxy_step(agent, env_state, jax.random.PRNGKey(3))
+    for i in range(3):
+        _, env_state, l0 = proxy_step(agent, env_state,
+                                      jax.random.fold_in(key, 2000 + i))
     jax.block_until_ready(l0)
     n_proxy = 5
     t0 = time.perf_counter()

@@ -88,7 +88,7 @@ def rollout(agent: AgentState, env_state: vehicular.EnvState, key: jax.Array,
     """
 
     def body(carry, k):
-        env_state, rep, env_step = carry
+        env_state, env_step = carry
         node, edge = features.node_edge_features(env_state, env_cfg)
         adj = features.adjacency(env_state, env_cfg)
         q = gnn_dqn.apply_single(agent.params, node, edge, adj, model_cfg)
@@ -99,13 +99,14 @@ def rollout(agent: AgentState, env_state: vehicular.EnvState, key: jax.Array,
             env_state, actions[:, None], k_env, env_cfg)
         reward = _weighted_reward(v2v_rate, v2i_rate, train_cfg)
         next_node, next_edge = features.node_edge_features(env_state, env_cfg)
-        rep = replay_lib.add(rep, node, edge, adj, actions, reward,
-                             next_node, next_edge)
-        return (env_state, rep, env_step + 1), reward
+        traj = (node, edge, adj, actions, reward, next_node, next_edge)
+        return (env_state, env_step + 1), traj
 
     keys = jax.random.split(key, train_cfg.transitions_per_step)
-    (env_state, rep, env_step), rewards = jax.lax.scan(
-        body, (env_state, agent.replay, agent.env_step), keys)
+    (env_state, env_step), traj = jax.lax.scan(
+        body, (env_state, agent.env_step), keys)
+    rep = replay_lib.add_batch(agent.replay, *traj)
+    rewards = traj[4]
     return agent.replace(replay=rep, env_step=env_step), env_state, rewards
 
 
@@ -127,7 +128,7 @@ def rollout_batched(agent: AgentState, env_states: vehicular.EnvState,
     """
 
     def body(carry, k):
-        env_states, rep, env_step = carry
+        env_states, env_step = carry
         node, edge = jax.vmap(
             lambda s: features.node_edge_features(s, env_cfg))(env_states)
         adj = jax.vmap(lambda s: features.adjacency(s, env_cfg))(env_states)
@@ -146,13 +147,16 @@ def rollout_batched(agent: AgentState, env_states: vehicular.EnvState,
             lambda v, i: _weighted_reward(v, i, train_cfg))(v2v_rate, v2i_rate)
         next_node, next_edge = jax.vmap(
             lambda s: features.node_edge_features(s, env_cfg))(env_states)
-        rep = replay_lib.add_batch(rep, node, edge, adj, actions, rewards,
-                                   next_node, next_edge)
-        return (env_states, rep, env_step + 1), rewards
+        traj = (node, edge, adj, actions, rewards, next_node, next_edge)
+        return (env_states, env_step + 1), traj
 
     keys = jax.random.split(key, train_cfg.transitions_per_step)
-    (env_states, rep, env_step), rewards = jax.lax.scan(
-        body, (env_states, agent.replay, agent.env_step), keys)
+    (env_states, env_step), traj = jax.lax.scan(
+        body, (env_states, agent.env_step), keys)
+    # flatten [T, E, ...] -> [T*E, ...] and land as one scatter per buffer
+    flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), traj)
+    rep = replay_lib.add_batch(agent.replay, *flat)
+    rewards = traj[4]
     return agent.replace(replay=rep, env_step=env_step), env_states, rewards
 
 

@@ -67,14 +67,25 @@ def add(state: ReplayState, node, edge, adj, action, reward,
 
 def add_batch(state: ReplayState, node, edge, adj, action, reward,
               next_node, next_edge) -> ReplayState:
-    """Append a [T, ...] batch of transitions (one scanned rollout burst)."""
+    """Append a [T, ...] batch of transitions in one scatter per buffer.
 
-    def body(s, xs):
-        return add(s, *xs), None
-
-    state, _ = jax.lax.scan(
-        body, state, (node, edge, adj, action, reward, next_node, next_edge))
-    return state
+    A whole rollout burst lands as a single row-scatter (indices
+    (cursor + arange(T)) % capacity) instead of T dynamic-update-slices —
+    the difference between one fused write kernel and T serial ones inside
+    the training scan."""
+    t = reward.shape[0]
+    capacity = state.reward.shape[0]
+    idx = (state.cursor + jnp.arange(t)) % capacity
+    return state.replace(
+        node=state.node.at[idx].set(node),
+        edge=state.edge.at[idx].set(edge),
+        adj=state.adj.at[idx].set(adj),
+        action=state.action.at[idx].set(action),
+        reward=state.reward.at[idx].set(reward),
+        next_node=state.next_node.at[idx].set(next_node),
+        next_edge=state.next_edge.at[idx].set(next_edge),
+        cursor=(state.cursor + t) % capacity,
+        size=jnp.minimum(state.size + t, capacity))
 
 
 def sample_indices(state: ReplayState, key: jax.Array, batch_size: int,

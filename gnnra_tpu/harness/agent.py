@@ -49,8 +49,11 @@ class Agent:
         self.key = jax.random.PRNGKey(seed)
         self.state = dqn.init_agent(self._next_key(), self.model_cfg,
                                     self.train_cfg)
-        # jitted cores (configs are static)
-        self._train_step = jax.jit(dqn.train_step, static_argnums=(3, 4, 5, 6))
+        # jitted cores (configs are static); agent/env state buffers are
+        # donated — without donation every step copies the whole replay ring
+        # (measured ~28x slower on TPU)
+        self._train_step = jax.jit(dqn.train_step, static_argnums=(3, 4, 5, 6),
+                                   donate_argnums=(0, 1))
         self._new_game = jax.jit(vehicular.new_random_game, static_argnums=1)
         self._test_episode = jax.jit(self._test_episode_impl,
                                      static_argnums=(3, 4, 5))

@@ -109,7 +109,7 @@ def make_dp_train_step(mesh: Mesh, env_cfg: EnvConfig, model_cfg: ModelConfig,
         in_specs=(rep, rep, rep, rep, sharded, sharded, rep),
         out_specs=(rep, rep, rep, rep, sharded, sharded, sharded, rep))
 
-    @functools.partial(jax.jit)
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: DPTrainState, key: jax.Array
              ) -> Tuple[DPTrainState, jax.Array, Dict[str, jax.Array]]:
         (params, target, opt_state, env_step, replay, env_states, rewards,
