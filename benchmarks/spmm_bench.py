@@ -1,0 +1,121 @@
+"""SpMM/SDDMM kernel benchmark (BASELINE configs 4-5).
+
+Reports edges/s for forward and fwd+bwd at the synthetic 100k-node /
+1M-edge scale, Pallas vs XLA segment-sum, plus the ring-partitioned
+multi-chip path when more than one device is present.
+
+Usage: python benchmarks/spmm_bench.py [--nodes N] [--edges E] [--dim F]
+Prints one JSON line per measurement.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def bench(op, h, iters=20):
+    """Time `op(h)` serialized `iters` times inside ONE jitted fori_loop.
+
+    Each iteration's input depends on the previous output through a single
+    element, so executions cannot be elided, overlapped, or deduplicated by
+    the runtime (repeated identical dispatches measured impossibly fast on
+    the remote TPU runtime), while the chain itself adds only a one-element
+    update. op's output may have any shape; only out.ravel()[0] feeds back.
+    """
+
+    @jax.jit
+    def loop(h):
+        def body(_, h):
+            out = op(h)
+            return h.at[0, 0].add(out.ravel()[0] * 1e-30)
+        return jax.lax.fori_loop(0, iters, body, h)
+
+    out = loop(h)
+    jax.block_until_ready(out)           # compile + warm
+    t0 = time.perf_counter()
+    out = loop(h)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def report(name, num_edges, seconds, baseline_seconds=None):
+    rec = {"metric": name, "value": round(num_edges / seconds / 1e9, 4),
+           "unit": "Gedges/s",
+           "vs_baseline": (round(baseline_seconds / seconds, 3)
+                           if baseline_seconds else 1.0)}
+    print(json.dumps(rec))
+    return rec
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--nodes", type=int, default=100_000)
+    parser.add_argument("--edges", type=int, default=1_000_000)
+    parser.add_argument("--dim", type=int, default=128)
+    parser.add_argument("--iters", type=int, default=20)
+    args = parser.parse_args(argv)
+
+    from gnnra_tpu import graph as graph_lib
+    from gnnra_tpu.ops import spmm
+
+    n, e, f = args.nodes, args.edges, args.dim
+    g = graph_lib.random_graph_host(0, n, e)
+    t0 = time.time()
+    fwd_b = graph_lib.block_by_receiver(g, r_block=128)
+    bwd_b = graph_lib.block_by_receiver(g.transpose(), r_block=128)
+    print(f"# preprocess {time.time() - t0:.2f}s; blocks={fwd_b.num_blocks} "
+          f"e_block={fwd_b.e_block} pad_overhead="
+          f"{fwd_b.num_blocks * fwd_b.e_block / e - 1:.2%}")
+
+    h = jax.random.normal(jax.random.PRNGKey(1), (n, f))
+    g_dev = graph_lib.COOGraph(senders=jnp.asarray(g.senders),
+                               receivers=jnp.asarray(g.receivers),
+                               weights=jnp.asarray(g.weights),
+                               num_nodes=g.num_nodes)
+
+    t_x = bench(lambda h: spmm.spmm_coo(h, g_dev), h, iters=args.iters)
+    t_p = bench(lambda h: spmm.spmm_blocked(h, fwd_b, impl="pallas"), h,
+                iters=args.iters)
+    report("spmm_fwd_pallas", e, t_p, baseline_seconds=t_x)
+    report("spmm_fwd_xla_segsum", e, t_x)
+
+    op = spmm.make_spmm(fwd_b, bwd_b, impl="pallas")
+    pallas_fb = jax.grad(lambda h: jnp.sum(op(h) * h))
+    xla_fb = jax.grad(lambda h: jnp.sum(spmm.spmm_coo(h, g_dev) * h))
+    t_xg = bench(xla_fb, h, iters=args.iters)
+    t_pg = bench(pallas_fb, h, iters=args.iters)
+    report("spmm_fwdbwd_pallas", e, t_pg, baseline_seconds=t_xg)
+    report("spmm_fwdbwd_xla_segsum", e, t_xg)
+
+    t_s = bench(lambda h: spmm.sddmm_blocked(h, h, fwd_b, impl="pallas"), h,
+                iters=args.iters)
+    report("sddmm_pallas", e, t_s)
+
+    h16 = h.astype(jnp.bfloat16)
+    t_p16 = bench(lambda h: spmm.spmm_blocked(h, fwd_b, impl="pallas"), h16,
+                  iters=args.iters)
+    report("spmm_fwd_pallas_bf16", e, t_p16, baseline_seconds=t_p)
+
+    if jax.device_count() > 1:
+        from gnnra_tpu.parallel import graph_parallel, mesh as mesh_lib
+        m = mesh_lib.make_mesh()
+        d = m.devices.size
+        part = graph_parallel.partition_for_ring(g, num_devices=d)
+        n_pad = part.num_devices * part.nodes_per_device
+        ring = graph_parallel.make_ring_spmm(m, part, f, impl="pallas")
+        h_pad = jnp.zeros((n_pad, f)).at[:n].set(h)
+        t_r = bench(lambda hp: ring(hp), h_pad, iters=args.iters)
+        report(f"spmm_ring_{d}dev", e, t_r, baseline_seconds=t_p)
+
+
+if __name__ == "__main__":
+    main()

@@ -27,14 +27,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class COOGraph:
-    """Static-shape COO edge list (senders -> receivers)."""
+    """Static-shape COO edge list (senders -> receivers). Registered as a
+    pytree (num_nodes static) so graphs pass through jit as traced args."""
 
     senders: jax.Array     # [E] int32
     receivers: jax.Array   # [E] int32
     weights: jax.Array     # [E] float32 (1.0 for unweighted; 0 marks padding)
-    num_nodes: int
+    num_nodes: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def num_edges(self) -> int:
@@ -46,17 +48,19 @@ class COOGraph:
                         weights=self.weights, num_nodes=self.num_nodes)
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BlockedGraph:
-    """Receiver-blocked, padded edge layout for the Pallas SpMM kernel."""
+    """Receiver-blocked, padded edge layout for the Pallas SpMM kernel.
+    Registered as a pytree (shape metadata static)."""
 
     senders: jax.Array       # [B, E_BLOCK] int32 (padding -> 0)
     recv_local: jax.Array    # [B, E_BLOCK] int32 in [0, R_BLOCK)
     weights: jax.Array       # [B, E_BLOCK] float32 (padding -> 0)
-    num_nodes: int           # original node count
-    num_nodes_padded: int    # B * R_BLOCK
-    r_block: int
-    num_edges: int           # true edge count (excludes padding)
+    num_nodes: int = dataclasses.field(metadata=dict(static=True))
+    num_nodes_padded: int = dataclasses.field(metadata=dict(static=True))
+    r_block: int = dataclasses.field(metadata=dict(static=True))
+    num_edges: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def num_blocks(self) -> int:
@@ -79,6 +83,19 @@ def random_graph(key: jax.Array, num_nodes: int, num_edges: int,
                     num_nodes=num_nodes)
 
 
+def random_graph_host(seed: int, num_nodes: int, num_edges: int,
+                      weighted: bool = False) -> COOGraph:
+    """Host-side (NumPy) random graph — avoids device->host pulls during
+    preprocessing when the graph is only needed as a topology."""
+    rng = np.random.RandomState(seed)
+    senders = rng.randint(0, num_nodes, num_edges).astype(np.int32)
+    receivers = rng.randint(0, num_nodes, num_edges).astype(np.int32)
+    weights = (rng.rand(num_edges).astype(np.float32)
+               if weighted else np.ones(num_edges, np.float32))
+    return COOGraph(senders=senders, receivers=receivers, weights=weights,
+                    num_nodes=num_nodes)
+
+
 def from_dense_adjacency(adj: np.ndarray) -> COOGraph:
     """COO edges (i -> j) for every nonzero adj[i, j] — the same convention
     as ops.aggregate_dense (agg_j = sum_i adj[i,j] h_i)."""
@@ -92,28 +109,27 @@ def from_dense_adjacency(adj: np.ndarray) -> COOGraph:
 
 def block_by_receiver(graph: COOGraph, r_block: int = 128,
                       e_block_multiple: int = 8,
-                      e_block: Optional[int] = None) -> BlockedGraph:
+                      e_block: Optional[int] = None,
+                      use_native: bool = True) -> BlockedGraph:
     """Group edges by receiver block and pad to a uniform per-block budget.
 
-    Host-side preprocessing (NumPy). For uniform random graphs the max/mean
-    block occupancy ratio is small (~1.2x at 1k+ edges/block), so single
-    uniform padding wastes little; callers with power-law graphs can pass an
-    explicit e_block and let overflow spill into duplicate blocks.
+    Host-side preprocessing: a single O(E) bucket-fill pass in the native
+    C++ library (gnnra_tpu/native/blocking.cpp) when available, otherwise a
+    vectorized NumPy scatter. For uniform random graphs the max/mean block
+    occupancy ratio is small (~1.1x at 1k+ edges/block) so single uniform
+    padding wastes little; callers with power-law graphs can pass an
+    explicit e_block.
     """
-    senders = np.asarray(graph.senders)
-    receivers = np.asarray(graph.receivers)
-    weights = np.asarray(graph.weights)
+    senders = np.ascontiguousarray(np.asarray(graph.senders), np.int32)
+    receivers = np.ascontiguousarray(np.asarray(graph.receivers), np.int32)
+    weights = np.ascontiguousarray(np.asarray(graph.weights), np.float32)
     n = graph.num_nodes
+    e = senders.shape[0]
     num_blocks = max(1, -(-n // r_block))
     n_padded = num_blocks * r_block
 
     block_ids = receivers // r_block
-    order = np.argsort(block_ids, kind="stable")
-    senders, receivers, weights = (senders[order], receivers[order],
-                                   weights[order])
-    block_ids = block_ids[order]
     counts = np.bincount(block_ids, minlength=num_blocks)
-
     if e_block is None:
         e_max = int(counts.max()) if counts.size else 1
         e_blk = max(e_block_multiple,
@@ -126,13 +142,33 @@ def block_by_receiver(graph: COOGraph, r_block: int = 128,
     s_out = np.zeros((num_blocks, e_blk), np.int32)
     r_out = np.zeros((num_blocks, e_blk), np.int32)
     w_out = np.zeros((num_blocks, e_blk), np.float32)
-    starts = np.concatenate([[0], np.cumsum(counts)])
-    for b in range(num_blocks):
-        lo, hi = starts[b], starts[b + 1]
-        k = hi - lo
-        s_out[b, :k] = senders[lo:hi]
-        r_out[b, :k] = receivers[lo:hi] - b * r_block
-        w_out[b, :k] = weights[lo:hi]
+
+    lib = None
+    if use_native:
+        from gnnra_tpu.native import get_lib
+        lib = get_lib()
+    if lib is not None:
+        import ctypes
+        rc = lib.fill_receiver_blocks(
+            senders.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            receivers.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            weights.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            e, r_block, num_blocks, e_blk,
+            s_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            r_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            w_out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        assert rc == 0, "native blocking reported block overflow"
+    else:
+        # vectorized scatter: stable sort by block, then slot index within
+        # block = rank - block start
+        order = np.argsort(block_ids, kind="stable")
+        sorted_blocks = block_ids[order]
+        starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        slots = np.arange(e, dtype=np.int64) - starts[sorted_blocks]
+        s_out[sorted_blocks, slots] = senders[order]
+        r_out[sorted_blocks, slots] = receivers[order] - \
+            sorted_blocks.astype(np.int32) * r_block
+        w_out[sorted_blocks, slots] = weights[order]
 
     return BlockedGraph(senders=jnp.asarray(s_out),
                         recv_local=jnp.asarray(r_out),

@@ -88,11 +88,15 @@ def _seg_reduce_kernel(recv_ref, w_ref, msgs_ref, out_ref):
     r_ids = jax.lax.broadcasted_iota(jnp.int32, (e, r), 1)
     onehot = (recv[:, None] == r_ids).astype(msgs_ref.dtype)
     m = onehot * w[:, None].astype(msgs_ref.dtype)       # [E, R]
+    # exact f32 accumulation for f32 inputs (free: the op is HBM-bound);
+    # bf16 inputs use the MXU's native path with f32 accumulate
+    precision = (jax.lax.Precision.HIGHEST
+                 if msgs_ref.dtype == jnp.float32 else None)
     out = jax.lax.dot_general(
         m, msgs_ref[0, :, :],
         dimension_numbers=(((0,), (0,)), ((), ())),      # m^T @ msgs
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        precision=precision)
     out_ref[0, :, :] = out.astype(out_ref.dtype)
 
 
