@@ -265,3 +265,75 @@ def train_step(agent: AgentState, env_state: vehicular.EnvState,
     agent, metrics = replay_update(agent, k_replay, model_cfg, train_cfg)
     agent = maybe_sync_target(agent, train_cfg)
     return agent, env_state, rewards, metrics
+
+
+def train_episode(agent: AgentState, key: jax.Array, env_cfg: EnvConfig,
+                  model_cfg: ModelConfig, train_cfg: TrainConfig,
+                  num_train_steps: int, total_env_steps: int
+                  ) -> Tuple[AgentState, jax.Array, Dict[str, jax.Array]]:
+    """One whole training episode as a single device program: fresh env
+    (reference BS_brain.py:810) + `num_train_steps` scanned train steps.
+
+    Host code dispatches once per episode and pulls one small stacked
+    metrics pytree — per-step host round trips (the reference's pattern)
+    dominate wall-time otherwise.
+
+    Returns (agent', rewards [S, T], metrics pytree with leading [S]).
+    """
+    k_env, k_scan = jax.random.split(key)
+    env_state = vehicular.new_random_game(k_env, env_cfg)
+
+    def body(carry, k):
+        agent, env_state = carry
+        agent, env_state, rewards, metrics = train_step(
+            agent, env_state, k, env_cfg, model_cfg, train_cfg,
+            total_env_steps)
+        return (agent, env_state), (rewards, metrics)
+
+    keys = jax.random.split(k_scan, num_train_steps)
+    (agent, _), (rewards, metrics) = jax.lax.scan(
+        body, (agent, env_state), keys)
+    return agent, rewards, metrics
+
+
+# metric packing order for train_episodes (host unpacks by this order)
+PACKED_METRICS = ("loss_per_head", "q_mean", "q_max_mean", "orig_q_mean",
+                  "orig_q_max_mean")
+
+
+def train_episodes(agent: AgentState, key: jax.Array, env_cfg: EnvConfig,
+                   model_cfg: ModelConfig, train_cfg: TrainConfig,
+                   num_episodes: int, num_train_steps: int,
+                   total_env_steps: int) -> Tuple[AgentState, jax.Array]:
+    """A chunk of `num_episodes` full episodes as ONE device program.
+
+    Device<->host latency dominates a per-episode driver (each transfer is a
+    full round trip), so metrics are packed into a single array
+    [C, S, 5N + T]: the five per-head metric families (PACKED_METRICS order)
+    followed by the per-transition rewards. `unpack_episode_metrics`
+    restores the dict on host.
+    """
+
+    def body(agent, k):
+        agent, rewards, metrics = train_episode(
+            agent, k, env_cfg, model_cfg, train_cfg, num_train_steps,
+            total_env_steps)
+        packed = jnp.concatenate(
+            [metrics[name] for name in PACKED_METRICS] + [rewards], axis=-1)
+        return agent, packed
+
+    keys = jax.random.split(key, num_episodes)
+    agent, packed = jax.lax.scan(body, agent, keys)
+    return agent, packed
+
+
+def unpack_episode_metrics(packed, n_nodes: int):
+    """Host-side inverse of the train_episodes packing.
+
+    packed: [C, S, 5N + T] numpy array ->
+    (metrics dict of [C, S, N] arrays, rewards [C, S, T])."""
+    out = {}
+    for i, name in enumerate(PACKED_METRICS):
+        out[name] = packed[..., i * n_nodes:(i + 1) * n_nodes]
+    rewards = packed[..., len(PACKED_METRICS) * n_nodes:]
+    return out, rewards

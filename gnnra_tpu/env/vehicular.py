@@ -95,6 +95,40 @@ def renew_channels_fastfading(state: EnvState, key: jax.Array,
                          v2v_fast=v2v_fast, v2i_fast=v2i_fast)
 
 
+def update_large_fading(state: EnvState, key: jax.Array, cfg: EnvConfig,
+                        time_step: float) -> EnvState:
+    """Pathloss + AR(1) shadowing refresh with an explicit time step
+    (reference `update_large_fading`, Environment.py:347-354; the main loop
+    uses the 0.002 factor via renew_channels_fastfading instead)."""
+    k_sv, k_si = jax.random.split(key)
+    pl_v2v = channels.v2v_pathloss(state.positions, cfg)
+    pl_v2i = channels.v2i_pathloss(state.positions, cfg)
+    delta = time_step * state.velocities
+    dd_v2v = delta[:, None] + delta[None, :]
+    shadow_v2v = channels.ar1_shadow_update(
+        state.shadow_v2v, dd_v2v, cfg.v2v_decorrelation_distance,
+        cfg.v2v_shadow_std, k_sv)
+    shadow_v2i = channels.ar1_shadow_update(
+        state.shadow_v2i, delta, cfg.v2i_decorrelation_distance,
+        cfg.v2i_shadow_std, k_si)
+    n = state.positions.shape[0]
+    return state.replace(
+        shadow_v2v=shadow_v2v, shadow_v2i=shadow_v2i,
+        v2v_abs=pl_v2v + shadow_v2v + 50.0 * jnp.eye(n),
+        v2i_abs=pl_v2i + shadow_v2i)
+
+
+def update_small_fading(state: EnvState, key: jax.Array,
+                        cfg: EnvConfig) -> EnvState:
+    """Rayleigh fast-fading refresh only (reference `update_small_fading`,
+    Environment.py:356-358)."""
+    n = state.positions.shape[0]
+    k_fv, k_fi = jax.random.split(key)
+    return state.replace(
+        v2v_fast=channels.rayleigh_fading_db(k_fv, (n, n, cfg.n_rb)),
+        v2i_fast=channels.rayleigh_fading_db(k_fi, (n, cfg.n_rb)))
+
+
 def renew_neighbor(state: EnvState, key: jax.Array, cfg: EnvConfig) -> EnvState:
     """Pick each transmitter's receiver(s) — the interference-graph edges.
 

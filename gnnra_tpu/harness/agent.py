@@ -54,6 +54,12 @@ class Agent:
         # (measured ~28x slower on TPU)
         self._train_step = jax.jit(dqn.train_step, static_argnums=(3, 4, 5, 6),
                                    donate_argnums=(0, 1))
+        self._train_episode = jax.jit(dqn.train_episode,
+                                      static_argnums=(2, 3, 4, 5, 6),
+                                      donate_argnums=(0,))
+        self._train_episodes = jax.jit(dqn.train_episodes,
+                                       static_argnums=(2, 3, 4, 5, 6, 7),
+                                       donate_argnums=(0,))
         self._new_game = jax.jit(vehicular.new_random_game, static_argnums=1)
         self._test_episode = jax.jit(self._test_episode_impl,
                                      static_argnums=(3, 4, 5))
@@ -93,25 +99,33 @@ class Agent:
                   f"steps={num_train_steps} batch={tc.batch_size} "
                   f"gamma={tc.gamma} v2i_weight={tc.v2i_weight}")
 
-        for ep in range(num_episodes):
-            env_state = self._new_game(self._next_key(), self.env_cfg)
-            if (ep + 1) % log_interval == 0:
-                self._log(f"episode {ep + 1}/{num_episodes}")
-            for it in range(num_train_steps):
-                self.state, env_state, rewards, metrics = self._train_step(
-                    self.state, env_state, self._next_key(), self.env_cfg,
-                    self.model_cfg, tc, total_env_steps)
-                reward_per_step[ep, it] = np.asarray(rewards)
-                train_loss[:, ep, it] = np.asarray(metrics["loss_per_head"])
-                q_mean[:, ep, it] = np.asarray(metrics["q_mean"])
-                q_max_mean[:, ep, it] = np.asarray(metrics["q_max_mean"])
-                orig_q_mean[:, ep, it] = np.asarray(metrics["orig_q_mean"])
-                orig_q_max_mean[:, ep, it] = np.asarray(
-                    metrics["orig_q_max_mean"])
-            reward_per_episode[ep] = reward_per_step[ep].sum()
-
-            if (ep + 1) % tc.save_model_interval == 0:
-                self.save_checkpoint(ep + 1)
+        # Chunk episodes per device dispatch: each host round trip costs
+        # ~10-20 ms regardless of payload, so C episodes run as one program
+        # and come back as ONE packed metrics array. Checkpoint cadence
+        # bounds the chunk size.
+        chunk = max(1, min(tc.save_model_interval, num_episodes))
+        ep = 0
+        while ep < num_episodes:
+            c = min(chunk, num_episodes - ep)
+            self.state, packed = self._train_episodes(
+                self.state, self._next_key(), self.env_cfg, self.model_cfg,
+                tc, c, num_train_steps, total_env_steps)
+            metrics, rewards = dqn.unpack_episode_metrics(
+                np.asarray(jax.device_get(packed)), n)
+            sl = slice(ep, ep + c)
+            reward_per_step[sl] = rewards                        # [C, S, T]
+            train_loss[:, sl, :] = metrics["loss_per_head"].transpose(2, 0, 1)
+            q_mean[:, sl, :] = metrics["q_mean"].transpose(2, 0, 1)
+            q_max_mean[:, sl, :] = metrics["q_max_mean"].transpose(2, 0, 1)
+            orig_q_mean[:, sl, :] = metrics["orig_q_mean"].transpose(2, 0, 1)
+            orig_q_max_mean[:, sl, :] = \
+                metrics["orig_q_max_mean"].transpose(2, 0, 1)
+            reward_per_episode[sl] = rewards.sum(axis=(1, 2))
+            ep += c
+            if ep % tc.save_model_interval == 0 or ep == num_episodes:
+                self.save_checkpoint(ep)
+            if (ep // chunk) % max(1, log_interval // chunk) == 0:
+                self._log(f"episode {ep}/{num_episodes}")
 
         return {
             "train_loss": train_loss,

@@ -63,7 +63,26 @@ def save(path: str, params: Any, target_params: Any,
         flat.update(_flatten(opt_state, "opt"))
     for k, v in scalars.items():
         flat["scalar:" + k] = np.asarray(v)
-    np.savez(path, **flat)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)           # atomic: no torn checkpoints on crash
+
+
+def save_async(path: str, params: Any, target_params: Any,
+               opt_state: Optional[Any] = None, **scalars):
+    """Asynchronous checkpoint: device->host pulls happen eagerly (so the
+    training step can donate/overwrite device buffers), serialization runs
+    on a worker thread. Returns the Thread; join() to ensure durability."""
+    import threading
+
+    host_params = jax.device_get(params)
+    host_target = jax.device_get(target_params)
+    host_opt = jax.device_get(opt_state) if opt_state is not None else None
+    t = threading.Thread(
+        target=save, args=(path, host_params, host_target, host_opt),
+        kwargs=scalars, daemon=True)
+    t.start()
+    return t
 
 
 def load(path: str, params_template: Any, target_template: Any,
