@@ -41,6 +41,22 @@ def param_specs(params: Any, model_axis: str = "model") -> Any:
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
+def expert_param_specs(params: Any, expert_axis: str = "expert") -> Any:
+    """Expert-parallel PartitionSpecs: the per-node unshared weight stacks
+    (leading node axis, reference BS_brain.py:121-200's per-D2D subnets) are
+    structurally a fixed-routing mixture-of-experts (SURVEY.md §2 EP row);
+    sharding the node axis places each node's GNN/Q-head expert on its own
+    device slice."""
+
+    def spec_for(path, leaf):
+        del path
+        if leaf.ndim <= 1:
+            return P()
+        return P(*([expert_axis] + [None] * (leaf.ndim - 1)))
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
 def shard_train_state(agent: dqn.AgentState, env_states: vehicular.EnvState,
                       mesh: Mesh, data_axis: str = "data",
                       model_axis: str = "model"
