@@ -158,6 +158,30 @@ class Agent:
             self.state = self.state.replace(
                 env_step=jnp.asarray(scalars["env_step"], jnp.int32))
 
+    def latest_checkpoint_episode(self) -> Optional[int]:
+        """Newest saved checkpoint episode, or None."""
+        import glob
+        import re
+        pattern = os.path.join(self.results_dir, "checkpoint-episode-*.npz")
+        episodes = []
+        for p in glob.glob(pattern):
+            m = re.search(r"checkpoint-episode-(\d+)\.npz$", p)
+            if m:
+                episodes.append(int(m.group(1)))
+        return max(episodes) if episodes else None
+
+    def resume_latest(self) -> int:
+        """Failure recovery: restore params + target + optimizer state +
+        env-step counter from the newest checkpoint (the reference can only
+        reload weights for evaluation — SURVEY.md §5). Returns the episode
+        to continue from (0 if no checkpoint exists)."""
+        episode = self.latest_checkpoint_episode()
+        if episode is None:
+            return 0
+        self.load_checkpoint(episode)
+        self._log(f"resumed from checkpoint at episode {episode}")
+        return episode
+
     # ------------------------------------------------------------------
     # Testing (reference Agent.test_run, BS_brain.py:986-1162)
     # ------------------------------------------------------------------

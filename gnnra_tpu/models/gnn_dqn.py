@@ -128,6 +128,43 @@ def apply(params: Params, node: jax.Array, edge: jax.Array, adj: jax.Array,
     return x.astype(jnp.float32)
 
 
+def apply_with_intermediates(params: Params, node: jax.Array,
+                             edge: jax.Array, adj: jax.Array,
+                             cfg: ModelConfig):
+    """Forward pass that also returns per-round activations, for the
+    numerics-parity harness (SURVEY.md: per-layer allclose against an
+    independently-derived oracle given identical weights and inputs).
+
+    Returns (q [B,N,A], {"h": [rounds][B,N,F], "agg": [rounds][B,N,F]}).
+    """
+    combine = gnn_combine_shared if cfg.share_weights else gnn_combine
+    b_dim, n = node.shape[0], node.shape[1]
+    f = cfg.num_feedback
+    nbr = jnp.zeros((b_dim, n, f), node.dtype)
+    inter = {"h": [], "agg": []}
+    h = None
+    for r in range(cfg.gnn_rounds):
+        p = params["gnn"][r]
+        a_in = node if r == 0 else jnp.concatenate([h, node], axis=-1)
+        act = None if r == cfg.gnn_rounds - 1 else "relu"
+        h = combine(a_in, edge, nbr, p["w1"], p["w2"], p["w3"], p["b"],
+                    activation=act)
+        nbr = aggregate_dense(h, adj)
+        inter["h"].append(h)
+        inter["agg"].append(nbr)
+
+    x = jnp.concatenate([node, h, nbr], axis=-1)
+    n_layers = len(params["head"])
+    for li, layer in enumerate(params["head"]):
+        if cfg.share_weights:
+            x = jnp.einsum("bnd,df->bnf", x, layer["w"]) + layer["b"][None, None]
+        else:
+            x = jnp.einsum("bnd,ndf->bnf", x, layer["w"]) + layer["b"][None]
+        if li < n_layers - 1:
+            x = jax.nn.relu(x)
+    return x, inter
+
+
 def apply_single(params: Params, node: jax.Array, edge: jax.Array,
                  adj: jax.Array, cfg: ModelConfig) -> jax.Array:
     """Unbatched forward: node [N, D] -> q [N, A] (predict_one_step analog,

@@ -25,7 +25,7 @@ def main():
 
     cfg = parity_config()
     cfg = dataclasses.replace(
-        cfg, train=dataclasses.replace(cfg.train, memory_capacity=500_000,
+        cfg, train=dataclasses.replace(cfg.train, memory_capacity=200_000,
                                        save_model_interval=save_interval))
     agent = Agent(cfg, results_base="results")
     t0 = time.time()
