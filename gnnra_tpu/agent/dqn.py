@@ -269,26 +269,46 @@ def train_step(agent: AgentState, env_state: vehicular.EnvState,
 
 def train_episode(agent: AgentState, key: jax.Array, env_cfg: EnvConfig,
                   model_cfg: ModelConfig, train_cfg: TrainConfig,
-                  num_train_steps: int, total_env_steps: int
+                  num_train_steps: int, total_env_steps: int,
+                  num_envs: int = 1
                   ) -> Tuple[AgentState, jax.Array, Dict[str, jax.Array]]:
-    """One whole training episode as a single device program: fresh env
+    """One whole training episode as a single device program: fresh env(s)
     (reference BS_brain.py:810) + `num_train_steps` scanned train steps.
 
     Host code dispatches once per episode and pulls one small stacked
     metrics pytree — per-step host round trips (the reference's pattern)
     dominate wall-time otherwise.
 
-    Returns (agent', rewards [S, T], metrics pytree with leading [S]).
+    num_envs > 1 (config 3) resets and rolls a vmapped bank of environments
+    feeding the shared replay ring; the learner is unchanged.
+
+    Returns (agent', rewards [S, T*num_envs], metrics with leading [S]).
     """
     k_env, k_scan = jax.random.split(key)
-    env_state = vehicular.new_random_game(k_env, env_cfg)
 
-    def body(carry, k):
-        agent, env_state = carry
-        agent, env_state, rewards, metrics = train_step(
-            agent, env_state, k, env_cfg, model_cfg, train_cfg,
-            total_env_steps)
-        return (agent, env_state), (rewards, metrics)
+    if num_envs == 1:
+        env_state = vehicular.new_random_game(k_env, env_cfg)
+
+        def body(carry, k):
+            agent, env_state = carry
+            agent, env_state, rewards, metrics = train_step(
+                agent, env_state, k, env_cfg, model_cfg, train_cfg,
+                total_env_steps)
+            return (agent, env_state), (rewards, metrics)
+    else:
+        env_state = jax.vmap(lambda k: vehicular.new_random_game(k, env_cfg))(
+            jax.random.split(k_env, num_envs))
+
+        def body(carry, k):
+            agent, env_states = carry
+            k_roll, k_replay = jax.random.split(k)
+            agent, env_states, rewards = rollout_batched(
+                agent, env_states, k_roll, env_cfg, model_cfg, train_cfg,
+                total_env_steps)
+            agent, metrics = replay_update(agent, k_replay, model_cfg,
+                                           train_cfg)
+            agent = maybe_sync_target(agent, train_cfg)
+            return (agent, env_states), (rewards.reshape(-1), metrics)
 
     keys = jax.random.split(k_scan, num_train_steps)
     (agent, _), (rewards, metrics) = jax.lax.scan(
@@ -304,20 +324,21 @@ PACKED_METRICS = ("loss_per_head", "q_mean", "q_max_mean", "orig_q_mean",
 def train_episodes(agent: AgentState, key: jax.Array, env_cfg: EnvConfig,
                    model_cfg: ModelConfig, train_cfg: TrainConfig,
                    num_episodes: int, num_train_steps: int,
-                   total_env_steps: int) -> Tuple[AgentState, jax.Array]:
+                   total_env_steps: int,
+                   num_envs: int = 1) -> Tuple[AgentState, jax.Array]:
     """A chunk of `num_episodes` full episodes as ONE device program.
 
     Device<->host latency dominates a per-episode driver (each transfer is a
     full round trip), so metrics are packed into a single array
-    [C, S, 5N + T]: the five per-head metric families (PACKED_METRICS order)
-    followed by the per-transition rewards. `unpack_episode_metrics`
-    restores the dict on host.
+    [C, S, 5N + T*num_envs]: the five per-head metric families
+    (PACKED_METRICS order) followed by the per-transition rewards.
+    `unpack_episode_metrics` restores the dict on host.
     """
 
     def body(agent, k):
         agent, rewards, metrics = train_episode(
             agent, k, env_cfg, model_cfg, train_cfg, num_train_steps,
-            total_env_steps)
+            total_env_steps, num_envs)
         packed = jnp.concatenate(
             [metrics[name] for name in PACKED_METRICS] + [rewards], axis=-1)
         return agent, packed

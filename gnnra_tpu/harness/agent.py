@@ -58,7 +58,7 @@ class Agent:
                                       static_argnums=(2, 3, 4, 5, 6),
                                       donate_argnums=(0,))
         self._train_episodes = jax.jit(dqn.train_episodes,
-                                       static_argnums=(2, 3, 4, 5, 6, 7),
+                                       static_argnums=(2, 3, 4, 5, 6, 7, 8),
                                        donate_argnums=(0,))
         self._new_game = jax.jit(vehicular.new_random_game, static_argnums=1)
         self._test_episode = jax.jit(self._test_episode_impl,
@@ -83,16 +83,17 @@ class Agent:
         num_episodes = num_episodes or tc.num_episodes
         num_train_steps = num_train_steps or tc.num_train_steps
         n = self.model_cfg.n_nodes
+        num_envs = tc.num_envs
         total_env_steps = (num_episodes * num_train_steps
                            * tc.transitions_per_step)
+        t_cols = tc.transitions_per_step * num_envs
 
         train_loss = np.ones((n, num_episodes, num_train_steps))
         q_mean = np.zeros((n, num_episodes, num_train_steps))
         q_max_mean = np.zeros((n, num_episodes, num_train_steps))
         orig_q_mean = np.zeros((n, num_episodes, num_train_steps))
         orig_q_max_mean = np.zeros((n, num_episodes, num_train_steps))
-        reward_per_step = np.zeros((num_episodes, num_train_steps,
-                                    tc.transitions_per_step))
+        reward_per_step = np.zeros((num_episodes, num_train_steps, t_cols))
         reward_per_episode = np.zeros(num_episodes)
 
         self._log(f"training: episodes={num_episodes} "
@@ -109,7 +110,7 @@ class Agent:
             c = min(chunk, num_episodes - ep)
             self.state, packed = self._train_episodes(
                 self.state, self._next_key(), self.env_cfg, self.model_cfg,
-                tc, c, num_train_steps, total_env_steps)
+                tc, c, num_train_steps, total_env_steps, num_envs)
             metrics, rewards = dqn.unpack_episode_metrics(
                 np.asarray(jax.device_get(packed)), n)
             sl = slice(ep, ep + c)

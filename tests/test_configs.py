@@ -63,3 +63,24 @@ class TestBatchedConfig:
         agent, metrics = dqn.replay_update(agent, jax.random.PRNGKey(3),
                                            cfg.model, tc)
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestBatchedHarness:
+    def test_harness_trains_with_num_envs(self, tmp_path):
+        from gnnra_tpu.config import (EnvConfig, EvalConfig, ModelConfig,
+                                      RunConfig, TrainConfig)
+        from gnnra_tpu.harness import Agent
+        cfg = RunConfig(
+            env=EnvConfig(), model=ModelConfig(),
+            train=TrainConfig(num_episodes=2, num_train_steps=2,
+                              transitions_per_step=5, batch_size=16,
+                              memory_capacity=512, save_model_interval=2,
+                              num_envs=4),
+            eval=EvalConfig(num_episodes=2, num_test_steps=4))
+        agent = Agent(cfg, results_base=str(tmp_path))
+        results = agent.train()
+        # rewards recorded for all envs: T*num_envs columns
+        assert results["reward_per_train_step"].shape == (2, 2, 20)
+        assert np.isfinite(results["reward_per_episode"]).all()
+        # replay accumulated T*num_envs transitions per train step
+        assert int(agent.state.replay.size) == 2 * 2 * 5 * 4
