@@ -188,3 +188,47 @@ class TestTrainStep:
         assert all(np.isfinite(losses))
         # loss should broadly decrease as the Q function fits the targets
         assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+
+class TestTrainEpisodes:
+    def test_train_episode_shapes(self):
+        cfg = TrainConfig(memory_capacity=256, batch_size=16,
+                          transitions_per_step=5)
+        agent = dqn.init_agent(jax.random.PRNGKey(0), MODEL_CFG, cfg)
+        agent, rewards, metrics = dqn.train_episode(
+            agent, jax.random.PRNGKey(1), ENV_CFG, MODEL_CFG, cfg,
+            num_train_steps=3, total_env_steps=1000)
+        assert rewards.shape == (3, 5)
+        assert metrics["loss_per_head"].shape == (3, 4)
+        assert int(agent.replay.size) == 15
+
+    def test_pack_unpack_roundtrip(self):
+        cfg = TrainConfig(memory_capacity=512, batch_size=16,
+                          transitions_per_step=5)
+        agent = dqn.init_agent(jax.random.PRNGKey(0), MODEL_CFG, cfg)
+        agent, packed = dqn.train_episodes(
+            agent, jax.random.PRNGKey(1), ENV_CFG, MODEL_CFG, cfg,
+            num_episodes=2, num_train_steps=3, total_env_steps=1000)
+        assert packed.shape == (2, 3, 5 * 4 + 5)
+        metrics, rewards = dqn.unpack_episode_metrics(np.asarray(packed), 4)
+        assert rewards.shape == (2, 3, 5)
+        assert metrics["q_mean"].shape == (2, 3, 4)
+        # cross-check one episode against the unchunked API
+        agent2 = dqn.init_agent(jax.random.PRNGKey(0), MODEL_CFG, cfg)
+        keys = jax.random.split(jax.random.PRNGKey(1), 2)
+        agent2, r0, m0 = dqn.train_episode(
+            agent2, keys[0], ENV_CFG, MODEL_CFG, cfg, 3, 1000)
+        np.testing.assert_allclose(np.asarray(r0), rewards[0], rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(m0["loss_per_head"]),
+                                   metrics["loss_per_head"][0], rtol=1e-4,
+                                   atol=1e-6)
+
+    def test_batched_episode(self):
+        cfg = TrainConfig(memory_capacity=512, batch_size=16,
+                          transitions_per_step=4)
+        agent = dqn.init_agent(jax.random.PRNGKey(0), MODEL_CFG, cfg)
+        agent, rewards, metrics = dqn.train_episode(
+            agent, jax.random.PRNGKey(1), ENV_CFG, MODEL_CFG, cfg,
+            num_train_steps=2, total_env_steps=1000, num_envs=3)
+        assert rewards.shape == (2, 12)        # T * num_envs flattened
+        assert int(agent.replay.size) == 2 * 4 * 3
