@@ -1,0 +1,76 @@
+"""Sparse-aggregation GNN-DQN for large interference graphs.
+
+The dense model (models/gnn_dqn.py) carries an [N, N] adjacency — exact
+reference semantics, fine to a few hundred nodes. This variant swaps the
+dense contraction for sparse neighborhood aggregation over COO/blocked edges
+(ops.spmm: segment-sum oracle or the Pallas blocked kernel), with
+shared-per-node weights (ModelConfig.share_weights=True), scaling the same
+3-round architecture to the synthetic 100k-node configs (BASELINE 4-5).
+
+The aggregate is injected as a closure so the same forward serves:
+  * aggregate_coo(graph)            — segment-sum (oracle / small graphs)
+  * make_spmm(fwd_blk, bwd_blk)     — Pallas kernel with custom VJP
+  * make_ring_spmm(mesh, part, f)   — multi-chip halo-exchange ring
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from gnnra_tpu.config import ModelConfig
+from gnnra_tpu.graph import COOGraph
+from gnnra_tpu.models import gnn_dqn
+from gnnra_tpu.ops import spmm as spmm_lib
+
+AggregateFn = Callable[[jax.Array], jax.Array]   # [N, F] -> [N, F]
+
+
+def aggregate_coo(graph: COOGraph) -> AggregateFn:
+    """Segment-sum aggregation closure (differentiable through JAX)."""
+    return lambda h: spmm_lib.spmm_coo(h, graph)
+
+
+def init_params(key: jax.Array, cfg: ModelConfig):
+    """Shared-weight parameter pytree (cfg.share_weights must be True)."""
+    assert cfg.share_weights, "sparse model uses shared per-node weights"
+    return gnn_dqn.init_params(key, cfg)
+
+
+def apply(params, node: jax.Array, edge: jax.Array,
+          aggregate: AggregateFn, cfg: ModelConfig) -> jax.Array:
+    """Forward over one graph: node [N, D], edge [N, De] -> q [N, A].
+
+    Same round structure as the dense model (reference BS_brain.py:147-200);
+    aggregation happens through the injected sparse op.
+    """
+    compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    node = node.astype(compute_dtype)
+    edge = edge.astype(compute_dtype)
+    n = node.shape[0]
+    f = cfg.num_feedback
+
+    def dense(x, w, b):
+        return jnp.einsum("nd,df->nf", x, w.astype(compute_dtype)) \
+            + b.astype(compute_dtype)[None]
+
+    nbr = jnp.zeros((n, f), compute_dtype)
+    h = None
+    for r in range(cfg.gnn_rounds):
+        p = params["gnn"][r]
+        a_in = node if r == 0 else jnp.concatenate([h, node], axis=-1)
+        out = (dense(a_in, p["w1"], p["b"])
+               + jnp.einsum("nd,df->nf", edge, p["w2"].astype(compute_dtype))
+               + jnp.einsum("nd,df->nf", nbr, p["w3"].astype(compute_dtype)))
+        h = out if r == cfg.gnn_rounds - 1 else jax.nn.relu(out)
+        nbr = aggregate(h.astype(jnp.float32)).astype(compute_dtype)
+
+    x = jnp.concatenate([node, h, nbr], axis=-1)
+    n_layers = len(params["head"])
+    for li, layer in enumerate(params["head"]):
+        x = dense(x, layer["w"], layer["b"])
+        if li < n_layers - 1:
+            x = jax.nn.relu(x)
+    return x.astype(jnp.float32)

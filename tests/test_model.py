@@ -223,3 +223,48 @@ class TestModel:
         q = fn(params, jnp.ones((2, 4, 9)), jnp.ones((2, 4, 4)),
                jnp.ones((4, 4)))
         assert q.shape == (2, 4, 4)
+
+
+class TestSparseModel:
+    def test_sparse_equals_dense_on_shared_weights(self):
+        from gnnra_tpu import graph as graph_lib
+        from gnnra_tpu.models import gnn_dqn_sparse
+        cfg = ModelConfig(share_weights=True)
+        params = gnn_dqn_sparse.init_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.RandomState(1)
+        node = jnp.asarray(rng.randn(4, 9), np.float32)
+        edge = jnp.asarray(rng.randn(4, 4), np.float32)
+        adj = np.asarray(np.ones((4, 4)) - np.eye(4), np.float32)
+        g = graph_lib.from_dense_adjacency(adj)
+        q_sparse = gnn_dqn_sparse.apply(
+            params, node, edge, gnn_dqn_sparse.aggregate_coo(g), cfg)
+        q_dense = gnn_dqn.apply(params, node[None], edge[None],
+                                jnp.asarray(adj), cfg)[0]
+        np.testing.assert_allclose(np.asarray(q_sparse), np.asarray(q_dense),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_large_graph_with_pallas_blocked(self):
+        from gnnra_tpu import graph as graph_lib
+        from gnnra_tpu.ops import spmm as spmm_lib
+        from gnnra_tpu.models import gnn_dqn_sparse
+        cfg = ModelConfig(share_weights=True)
+        n = 600
+        g = graph_lib.random_graph_host(2, n, 3000)
+        fwd_b = graph_lib.block_by_receiver(g, r_block=128)
+        bwd_b = graph_lib.block_by_receiver(g.transpose(), r_block=128)
+        op = spmm_lib.make_spmm(fwd_b, bwd_b, impl="jnp")
+        params = gnn_dqn_sparse.init_params(jax.random.PRNGKey(3), cfg)
+        rng = np.random.RandomState(4)
+        node = jnp.asarray(rng.randn(n, 9), np.float32)
+        edge = jnp.asarray(rng.randn(n, 4), np.float32)
+        q = gnn_dqn_sparse.apply(params, node, edge, op, cfg)
+        assert q.shape == (n, 4)
+        # oracle comparison via segment-sum aggregation
+        q_ref = gnn_dqn_sparse.apply(params, node, edge,
+                                     gnn_dqn_sparse.aggregate_coo(g), cfg)
+        np.testing.assert_allclose(np.asarray(q), np.asarray(q_ref),
+                                   rtol=1e-3, atol=1e-4)
+        # gradients flow through the custom-VJP kernel path
+        gr = jax.grad(lambda p: float(0) + jnp.sum(
+            gnn_dqn_sparse.apply(p, node, edge, op, cfg) ** 2))(params)
+        assert np.isfinite(np.asarray(gr["gnn"][0]["w1"]).sum())
