@@ -99,3 +99,28 @@ class TestDPTrainStep:
                       out_specs=P("data"))(xs)
         want = float(jnp.mean(xs ** 2))
         np.testing.assert_allclose(np.asarray(g), want, rtol=1e-6)
+
+
+class TestGSPMD:
+    def test_spmd_train_step_on_2d_mesh(self):
+        from gnnra_tpu.parallel import spmd
+        m = mesh_lib.make_mesh((4, 2), ("data", "model"))
+        cfg = TrainConfig(memory_capacity=256, batch_size=16,
+                          transitions_per_step=3,
+                          target_update_every_env_steps=6)
+        agent = dqn.init_agent(jax.random.PRNGKey(0), MODEL_CFG, cfg)
+        keys = jax.random.split(jax.random.PRNGKey(1), 4)
+        env_states = jax.vmap(
+            lambda k: vehicular.new_random_game(k, ENV_CFG))(keys)
+        agent, env_states = spmd.shard_train_state(agent, env_states, m)
+        # params TP-sharded on trailing axis
+        assert "model" in str(agent.params["gnn"][0]["w1"].sharding.spec)
+        step = spmd.make_spmd_train_step(ENV_CFG, MODEL_CFG, cfg, 1000)
+        agent, env_states, rewards, metrics = step(agent, env_states,
+                                                   jax.random.PRNGKey(2))
+        assert rewards.shape == (3, 4)
+        assert np.isfinite(float(metrics["loss"]))
+        # second step composes
+        agent, env_states, rewards, metrics = step(agent, env_states,
+                                                   jax.random.PRNGKey(3))
+        assert np.isfinite(float(metrics["loss"]))
