@@ -21,7 +21,7 @@ import sys
 import time
 
 import jax
-import jax.numpy as jnp
+
 
 
 def time_fn(fn, n_iters, *args):

@@ -26,7 +26,6 @@ oracle, asserted in tests.
 
 from __future__ import annotations
 
-import functools
 from typing import Literal
 
 import jax
