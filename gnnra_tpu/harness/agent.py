@@ -78,14 +78,20 @@ class Agent:
     # ------------------------------------------------------------------
     def train(self, num_episodes: Optional[int] = None,
               num_train_steps: Optional[int] = None,
-              log_interval: int = 200) -> Dict[str, np.ndarray]:
+              log_interval: int = 200,
+              schedule_episodes: Optional[int] = None,
+              start_episode: int = 0) -> Dict[str, np.ndarray]:
+        """Train for num_episodes. `schedule_episodes` pins the epsilon
+        anneal horizon to a larger run when training in resumable segments
+        (the agent's env_step counter carries across segments);
+        `start_episode` offsets checkpoint numbering for such segments."""
         tc = self.train_cfg
         num_episodes = num_episodes or tc.num_episodes
         num_train_steps = num_train_steps or tc.num_train_steps
         n = self.model_cfg.n_nodes
         num_envs = tc.num_envs
-        total_env_steps = (num_episodes * num_train_steps
-                           * tc.transitions_per_step)
+        total_env_steps = ((schedule_episodes or num_episodes)
+                           * num_train_steps * tc.transitions_per_step)
         t_cols = tc.transitions_per_step * num_envs
 
         train_loss = np.ones((n, num_episodes, num_train_steps))
@@ -124,7 +130,7 @@ class Agent:
             reward_per_episode[sl] = rewards.sum(axis=(1, 2))
             ep += c
             if ep % tc.save_model_interval == 0 or ep == num_episodes:
-                self.save_checkpoint(ep)
+                self.save_checkpoint(start_episode + ep)
             if (ep // chunk) % max(1, log_interval // chunk) == 0:
                 self._log(f"episode {ep}/{num_episodes}")
 
