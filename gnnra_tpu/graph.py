@@ -57,6 +57,10 @@ class BlockedGraph:
     senders: jax.Array       # [B, E_BLOCK] int32 (padding -> 0)
     recv_local: jax.Array    # [B, E_BLOCK] int32 in [0, R_BLOCK)
     weights: jax.Array       # [B, E_BLOCK] float32 (padding -> 0)
+    # original COO edge id per slot; padding slots -> num_edges (one past
+    # the end), so learnable per-edge weights can be gathered/scattered
+    # between layouts through an [num_edges+1]-sized buffer
+    edge_ids: jax.Array      # [B, E_BLOCK] int32
     num_nodes: int = dataclasses.field(metadata=dict(static=True))
     num_nodes_padded: int = dataclasses.field(metadata=dict(static=True))
     r_block: int = dataclasses.field(metadata=dict(static=True))
@@ -142,6 +146,7 @@ def block_by_receiver(graph: COOGraph, r_block: int = 128,
     s_out = np.zeros((num_blocks, e_blk), np.int32)
     r_out = np.zeros((num_blocks, e_blk), np.int32)
     w_out = np.zeros((num_blocks, e_blk), np.float32)
+    id_out = np.full((num_blocks, e_blk), e, np.int32)   # padding id = E
 
     lib = None
     if use_native:
@@ -156,7 +161,8 @@ def block_by_receiver(graph: COOGraph, r_block: int = 128,
             e, r_block, num_blocks, e_blk,
             s_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             r_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            w_out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            w_out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            id_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
         assert rc == 0, "native blocking reported block overflow"
     else:
         # vectorized scatter: stable sort by block, then slot index within
@@ -169,10 +175,12 @@ def block_by_receiver(graph: COOGraph, r_block: int = 128,
         r_out[sorted_blocks, slots] = receivers[order] - \
             sorted_blocks.astype(np.int32) * r_block
         w_out[sorted_blocks, slots] = weights[order]
+        id_out[sorted_blocks, slots] = order.astype(np.int32)
 
     return BlockedGraph(senders=jnp.asarray(s_out),
                         recv_local=jnp.asarray(r_out),
                         weights=jnp.asarray(w_out),
+                        edge_ids=jnp.asarray(id_out),
                         num_nodes=n, num_nodes_padded=n_padded,
                         r_block=r_block, num_edges=graph.num_edges)
 

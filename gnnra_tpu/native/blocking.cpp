@@ -25,13 +25,15 @@ void count_receiver_blocks(const int32_t* receivers, int64_t num_edges,
 }
 
 // Fill the blocked layout in one stable pass.
-// out_* are [num_blocks, e_block], pre-zeroed by the caller.
+// out_senders/out_recv_local/out_weights are [num_blocks, e_block],
+// pre-zeroed; out_edge_ids pre-filled with the padding id (num_edges).
 // Returns 0 on success, -1 on block overflow.
 int32_t fill_receiver_blocks(const int32_t* senders, const int32_t* receivers,
                              const float* weights, int64_t num_edges,
                              int32_t r_block, int32_t num_blocks,
                              int32_t e_block, int32_t* out_senders,
-                             int32_t* out_recv_local, float* out_weights) {
+                             int32_t* out_recv_local, float* out_weights,
+                             int32_t* out_edge_ids) {
   std::vector<int32_t> fill(num_blocks, 0);
   for (int64_t e = 0; e < num_edges; ++e) {
     const int32_t b = receivers[e] / r_block;
@@ -41,6 +43,7 @@ int32_t fill_receiver_blocks(const int32_t* senders, const int32_t* receivers,
     out_senders[idx] = senders[e];
     out_recv_local[idx] = receivers[e] - b * r_block;
     out_weights[idx] = weights[e];
+    out_edge_ids[idx] = static_cast<int32_t>(e);
   }
   return 0;
 }

@@ -50,7 +50,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.count_receiver_blocks.restype = None
         lib.fill_receiver_blocks.argtypes = [
             i32p, i32p, f32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32, i32p, i32p, f32p]
+            ctypes.c_int32, i32p, i32p, f32p, i32p]
         lib.fill_receiver_blocks.restype = ctypes.c_int32
         lib.count_ring_buckets.argtypes = [
             i32p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, i64p]

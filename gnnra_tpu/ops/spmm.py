@@ -163,6 +163,61 @@ def make_spmm(fwd_blocked: BlockedGraph, bwd_blocked: BlockedGraph,
     return spmm
 
 
+def make_weighted_spmm(fwd_blocked: BlockedGraph, bwd_blocked: BlockedGraph,
+                       impl: Impl = "pallas"):
+    """Differentiable SpMM in BOTH node features and per-edge weights.
+
+    Returns f(h [N,F], w [E]) -> [N,F] where w lives in original COO edge-id
+    order (graph.BlockedGraph.edge_ids maps layout slots back to it; padding
+    slots read/write a sentinel slot E):
+
+      out[r]   = sum_e w_e h[s_e]
+      dL/dh[s] = sum_e w_e g[r_e]        (SpMM on the transposed layout)
+      dL/dw_e  = <g[r_e], h[s_e]>        (SDDMM on the forward layout)
+
+    This is the building block for attention-style / learned-edge-weight
+    GNNs on top of the same blocked kernels.
+    """
+    e_orig = fwd_blocked.num_edges
+
+    def _layout_weights(w, blocked):
+        w_pad = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])
+        return w_pad[blocked.edge_ids]                  # [B, E_BLOCK]
+
+    @jax.custom_vjp
+    def f(h, w):
+        bl = BlockedGraph(
+            senders=fwd_blocked.senders, recv_local=fwd_blocked.recv_local,
+            weights=_layout_weights(w, fwd_blocked),
+            edge_ids=fwd_blocked.edge_ids, num_nodes=fwd_blocked.num_nodes,
+            num_nodes_padded=fwd_blocked.num_nodes_padded,
+            r_block=fwd_blocked.r_block, num_edges=e_orig)
+        return spmm_blocked(h, bl, impl)
+
+    def fwd(h, w):
+        return f(h, w), (h, w)
+
+    def bwd(res, g):
+        h, w = res
+        bl_t = BlockedGraph(
+            senders=bwd_blocked.senders, recv_local=bwd_blocked.recv_local,
+            weights=_layout_weights(w, bwd_blocked),
+            edge_ids=bwd_blocked.edge_ids, num_nodes=bwd_blocked.num_nodes,
+            num_nodes_padded=bwd_blocked.num_nodes_padded,
+            r_block=bwd_blocked.r_block, num_edges=e_orig)
+        dh = spmm_blocked(g, bl_t, impl)[:h.shape[0]]
+        # dw via SDDMM on the forward layout: score[b, slot] = <h[s], g[r]>,
+        # scattered back to original edge ids (padding-slot garbage lands in
+        # the sentinel id E and is dropped)
+        scores = sddmm_blocked(h, g, fwd_blocked, impl)
+        dw = jnp.zeros((e_orig + 1,), w.dtype).at[
+            fwd_blocked.edge_ids.reshape(-1)].add(scores.reshape(-1))
+        return dh, dw[:e_orig]
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 # ---------------------------------------------------------------------------
 # SDDMM
 # ---------------------------------------------------------------------------

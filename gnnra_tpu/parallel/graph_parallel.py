@@ -110,6 +110,7 @@ def _local_blocked_spmm(h_chunk, senders, recv_local, weights, r_block,
     """SpMM of one (device, chunk) bucket against a feature chunk."""
     bl = graph_lib.BlockedGraph(
         senders=senders, recv_local=recv_local, weights=weights,
+        edge_ids=jnp.zeros_like(senders),
         num_nodes=senders.shape[0] * r_block,
         num_nodes_padded=senders.shape[0] * r_block,
         r_block=r_block, num_edges=0)

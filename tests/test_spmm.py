@@ -116,3 +116,42 @@ class TestSddmm:
         mask = np.asarray(blocked.weights) != 0
         np.testing.assert_allclose(got[mask], want_coo[order], rtol=1e-3,
                                    atol=1e-3)
+
+
+class TestWeightedSpmm:
+    @pytest.mark.parametrize("impl", ["jnp", "pallas_interpret"])
+    def test_value_and_grads_match_autodiff_oracle(self, impl):
+        g = make_graph(seed=20, n=150, e=700, weighted=True)
+        fwd_b = graph_lib.block_by_receiver(g, r_block=64)
+        bwd_b = graph_lib.block_by_receiver(g.transpose(), r_block=64)
+        op = spmm.make_weighted_spmm(fwd_b, bwd_b, impl=impl)
+        h = jax.random.normal(jax.random.PRNGKey(21), (150, 16))
+        w = jnp.asarray(np.random.RandomState(22).rand(700), jnp.float32)
+
+        def loss_ours(h, w):
+            return jnp.sum(jnp.sin(op(h, w)))
+
+        def loss_oracle(h, w):
+            gg = graph_lib.COOGraph(senders=g.senders, receivers=g.receivers,
+                                    weights=w, num_nodes=g.num_nodes)
+            return jnp.sum(jnp.sin(spmm.spmm_coo(h, gg)))
+
+        np.testing.assert_allclose(float(loss_ours(h, w)),
+                                   float(loss_oracle(h, w)), rtol=1e-4)
+        dh1, dw1 = jax.grad(loss_ours, argnums=(0, 1))(h, w)
+        dh2, dw2 = jax.grad(loss_oracle, argnums=(0, 1))(h, w)
+        np.testing.assert_allclose(np.asarray(dh1), np.asarray(dh2),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dw1), np.asarray(dw2),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_edge_ids_layout(self):
+        g = make_graph(seed=23, n=100, e=400)
+        b = graph_lib.block_by_receiver(g, r_block=64)
+        ids = np.asarray(b.edge_ids)
+        mask = np.asarray(b.weights) != 0
+        # real slots carry each original edge exactly once
+        real = np.sort(ids[mask])
+        np.testing.assert_array_equal(real, np.arange(400))
+        # padding slots carry the sentinel id E
+        assert np.all(ids[~mask] == 400)
