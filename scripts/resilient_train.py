@@ -21,6 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def run_segment(total: int, segment: int) -> int:
     """Worker: resume + train one segment. Exit 0 ok, 3 = already done."""
+    import jax
+    # persistent compile cache: each worker is a fresh process; without this
+    # every segment pays the full remote compile again
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import numpy as np
     from gnnra_tpu.config import parity_config
     from gnnra_tpu.harness import Agent
