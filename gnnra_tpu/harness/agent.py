@@ -312,9 +312,12 @@ class Agent:
             for ci in range(num_ckpts):
                 episode = (ci + 1) * interval
                 self.load_checkpoint(episode)
-                # per-trial fixed seed (reference BS_brain.py:1262-1266)
+                # the reference reseeds with the SAME per-trial seed before
+                # every checkpoint (BS_brain.py:1262-1266), so every
+                # checkpoint within a trial is scored on identical
+                # environment realizations — only the weights differ
                 key = jax.random.PRNGKey(trial + 1)
-                k_game, k_ep = jax.random.split(jax.random.fold_in(key, ci))
+                k_game, k_ep = jax.random.split(key)
                 env_state = self._new_game(k_game, self.env_cfg)
                 traj = self._test_episode(self.state.params, env_state, k_ep,
                                           opt_flag and ci == 0, fixed_epsilon,
