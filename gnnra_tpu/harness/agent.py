@@ -30,6 +30,11 @@ from gnnra_tpu.utils import checkpoint as ckpt
 def enumerate_joint_actions(n_nodes: int, n_actions: int) -> jnp.ndarray:
     """All joint channel assignments [A^N, N] (reference base-4 decode,
     BS_brain.py:1067-1078, generalized to any N/A)."""
+    total = n_actions ** n_nodes
+    if total > 1_000_000:
+        raise ValueError(
+            f"brute-force optimal baseline needs {n_actions}^{n_nodes} = "
+            f"{total} joint actions; disable opt_flag for scaled configs")
     combos = list(itertools.product(range(n_actions), repeat=n_nodes))
     return jnp.asarray(combos, jnp.int32)
 

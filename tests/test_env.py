@@ -299,3 +299,46 @@ class TestEpisode:
                                                          step_keys)
         assert v2v.shape == (8, 4, 1)
         assert np.all(np.asarray(states2.step) == 1)
+
+
+class TestQuirksOff:
+    """The fixed-behavior path (faithful_quirks=False) for scaled configs."""
+
+    def test_interference_obs_no_dead_branch(self):
+        cfg = EnvConfig(faithful_quirks=False)
+        state = random_state(9)
+        state = state.replace(
+            activate_links=jnp.asarray([[True], [False], [True], [True]]))
+        actions = jnp.asarray([[2], [1], [0], [3]], jnp.int32)
+        got = np.asarray(vehicular.compute_interference_obs(state, actions,
+                                                            cfg))
+        # without the quirk only the V2I term + noise contribute, so the
+        # result must be independent of activate_links
+        state_all = state.replace(
+            activate_links=jnp.ones((4, 1), bool))
+        got_all = np.asarray(vehicular.compute_interference_obs(
+            state_all, actions, cfg))
+        np.testing.assert_allclose(got, got_all, rtol=1e-6)
+
+    def test_left_mover_single_step(self):
+        cfg = EnvConfig(turn_probability=0.0, faithful_quirks=False)
+        positions = jnp.asarray([[300.0, 300.0]])
+        new_pos, _ = mobility.renew_positions(
+            positions, jnp.asarray([2], jnp.int32), jnp.full((1,), 12.0),
+            jax.random.PRNGKey(0), cfg)
+        np.testing.assert_allclose(float(new_pos[0, 0]),
+                                   300.0 - 12.0 * cfg.timestep, rtol=1e-6)
+
+
+class TestRewardWeights:
+    def test_v2i_weight_changes_reward_not_rates(self):
+        state = random_state(3)
+        actions = jnp.asarray([[0], [1], [2], [3]], jnp.int32)
+        v2v, v2i, intf = vehicular.compute_reward_with_channel_selection(
+            state, actions, CFG)
+        # rates are weight-independent; the weighted sum is harness-side
+        from gnnra_tpu.agent.dqn import _weighted_reward
+        from gnnra_tpu.config import TrainConfig
+        r1 = float(_weighted_reward(v2v, v2i, TrainConfig(v2i_weight=0.0)))
+        r2 = float(_weighted_reward(v2v, v2i, TrainConfig(v2i_weight=1.0)))
+        np.testing.assert_allclose(r2 - r1, float(v2i.sum()), rtol=1e-5)
