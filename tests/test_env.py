@@ -342,3 +342,36 @@ class TestRewardWeights:
         r1 = float(_weighted_reward(v2v, v2i, TrainConfig(v2i_weight=0.0)))
         r2 = float(_weighted_reward(v2v, v2i, TrainConfig(v2i_weight=1.0)))
         np.testing.assert_allclose(r2 - r1, float(v2i.sum()), rtol=1e-5)
+
+
+class TestMobilityInvariants:
+    def test_positions_stay_in_bounds_over_many_steps(self):
+        cfg = CFG
+        key = jax.random.PRNGKey(0)
+        state = vehicular.new_random_game(key, cfg)
+        pos, dirs = state.positions, state.directions
+        vel = state.velocities
+        step = jax.jit(mobility.renew_positions, static_argnums=4)
+        for i in range(200):
+            key, k = jax.random.split(key)
+            pos, dirs = step(pos, dirs, vel, k, cfg)
+        p = np.asarray(pos)
+        assert np.all(p[:, 0] >= -1.0) and np.all(p[:, 0] <= cfg.width + 1.0)
+        assert np.all(p[:, 1] >= -1.0) and np.all(p[:, 1] <= cfg.height + 1.0)
+        d = np.asarray(dirs)
+        assert np.all((d >= 0) & (d <= 3))
+
+    def test_turn_probability_statistics(self):
+        # at a guaranteed crossing, turns happen ~40% of the time
+        cfg = CFG
+        lane = cfg.left_lanes[2]
+        n = 2000
+        positions = jnp.tile(jnp.asarray([[300.0, lane - 0.05]]), (n, 1))
+        dirs = jnp.zeros((n,), jnp.int32)            # all 'u'
+        vel = jnp.full((n,), 10.0)                   # delta 0.1 crosses lane
+        _, new_dirs = mobility.renew_positions(positions, dirs, vel,
+                                               jax.random.PRNGKey(1), cfg)
+        turned_left = float((np.asarray(new_dirs) == mobility.DIR_L).mean())
+        # P(left turn) = 0.4; remaining 60% check right lanes (no crossing
+        # here) and continue straight
+        assert 0.35 < turned_left < 0.45
