@@ -40,18 +40,23 @@ def run_segment(total: int, segment: int) -> int:
     if done >= total:
         print(f"already trained {done} episodes", flush=True)
         return 3
-    todo = min(segment, total - done)
-    print(f"segment: episodes {done} -> {done + todo}", flush=True)
-    t0 = time.time()
-    results = agent.train(num_episodes=todo, log_interval=100,
-                          schedule_episodes=total, start_episode=done)
-    dt = time.time() - t0
-    print(f"segment done in {dt:.1f}s ({dt / todo * 1e3:.0f} ms/episode)",
-          flush=True)
-    part = os.path.join(agent.results_dir,
-                        f"train-results-part-{done + todo}.npz")
-    np.savez_compressed(part, **results)
-    return 0
+    # a healthy worker keeps going (process warm-up costs minutes); the
+    # per-segment checkpoint + part files still land, so a crash only
+    # loses the current segment
+    while done < total:
+        todo = min(segment, total - done)
+        print(f"segment: episodes {done} -> {done + todo}", flush=True)
+        t0 = time.time()
+        results = agent.train(num_episodes=todo, log_interval=100,
+                              schedule_episodes=total, start_episode=done)
+        dt = time.time() - t0
+        print(f"segment done in {dt:.1f}s ({dt / todo * 1e3:.0f} ms/episode)",
+              flush=True)
+        part = os.path.join(agent.results_dir,
+                            f"train-results-part-{done + todo}.npz")
+        np.savez_compressed(part, **results)
+        done += todo
+    return 3
 
 
 def supervise(total: int, segment: int):
