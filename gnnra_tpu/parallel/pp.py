@@ -2,25 +2,30 @@
 
 New capability (the reference builds its 3 rounds inline on one device,
 BS_brain.py:147-166; SURVEY.md §2 marks stage-splitting them across a mesh
-axis as the PP plan for deep variants). GPipe-style forward:
+axis as the PP plan for deep variants). GPipe-style schedule:
 
-  * the rounds + the Q-head are split into S stages; stage s's parameters
-    live on mesh slice s of the 'stage' axis;
+  * rounds are made structurally uniform (round 0's W1 is zero-padded on the
+    h-block so every round computes `combine(concat(h, node), edge, nbr)`,
+    with per-round relu/enabled flags) and stacked on a leading round axis;
+  * the stack is reshaped to [num_stages, rounds_per_stage, ...] and sharded
+    over the 'stage' mesh axis through shard_map in_specs — each device
+    holds ONLY its own stage's weights (true pipeline partitioning);
   * the batch is cut into M microbatches; activations flow stage->stage+1
     via `ppermute` (ICI neighbor hop), so at steady state all S stages
     compute different microbatches concurrently;
-  * SPMD-homogeneous body: every device runs the same program and selects
-    its stage's round subset with `lax.switch` on its axis index; the final
-    stage writes Q-values, combined across the axis with a psum of
-    zero-masked buffers.
+  * the schedule is statically unrolled (M + S - 1 ticks); microbatch i's
+    Q-values are simply the tick-(i+S-1) output of the last stage, so there
+    is no on-device accumulation buffer at all.
 
-The pipeline is a pure jittable function — `jax.grad` differentiates through
-the ppermutes, giving backward pipelining for free (reverse hops).
+Every device runs the same program with no data-dependent control flow
+(`lax.switch`-free — per-round behavior differences are weight-independent
+`jnp.where` flags), so `jax.grad` differentiates the whole pipeline and the
+ppermute transposes give backward pipelining for free (reverse hops).
 """
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence
+from typing import Any, List
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +33,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from gnnra_tpu.config import ModelConfig
-from gnnra_tpu.ops import aggregate_dense, gnn_combine
+from gnnra_tpu.ops import aggregate_dense
 
 
 def split_rounds(num_rounds: int, num_stages: int) -> List[List[int]]:
@@ -45,25 +50,82 @@ def split_rounds(num_rounds: int, num_stages: int) -> List[List[int]]:
     return out
 
 
-def _apply_rounds(params: Any, rounds: Sequence[int], node, edge, h, nbr,
-                  adj, cfg: ModelConfig):
-    """Run a subset of message-passing rounds (same math as
-    models.gnn_dqn.apply)."""
-    for r in rounds:
-        p = params["gnn"][r]
-        a_in = node if r == 0 else jnp.concatenate([h, node], axis=-1)
-        act = None if r == cfg.gnn_rounds - 1 else "relu"
-        h = gnn_combine(a_in, edge, nbr, p["w1"], p["w2"], p["w3"], p["b"],
-                        activation=act)
-        nbr = aggregate_dense(h, adj)
-    return h, nbr
+def _stack_stage_params(params: Any, cfg: ModelConfig, num_stages: int):
+    """Uniformize + stack per-round GNN weights to [S, k, ...].
+
+    Round 0's W1 acts on node only ([..., node_dim, F]); later rounds act on
+    concat(h, node) ([..., F+node_dim, F]). Zero-padding round 0's h-block
+    makes them identical: h entering round 0 is zeros anyway, and the zero
+    rows also receive zero gradient cotangents, so autodiff through the pad
+    recovers exactly the original round-0 W1 gradient.
+
+    Rounds are padded up to S*k with disabled pass-through rounds (zero
+    weights, enabled=False).
+    """
+    rounds = params["gnn"]
+    num_rounds = len(rounds)
+    k = -(-num_rounds // num_stages)          # ceil
+    total = k * num_stages
+    in_dim = cfg.num_feedback + cfg.node_dim
+
+    w1s, w2s, w3s, bs = [], [], [], []
+    relu_flags, enabled = [], []
+    for r in range(total):
+        if r < num_rounds:
+            p = rounds[r]
+            w1 = p["w1"]
+            if w1.shape[-2] < in_dim:          # round 0: pad the h-block
+                pad_shape = w1.shape[:-2] + (in_dim - w1.shape[-2],
+                                             w1.shape[-1])
+                w1 = jnp.concatenate(
+                    [jnp.zeros(pad_shape, w1.dtype), w1], axis=-2)
+            w1s.append(w1)
+            w2s.append(p["w2"])
+            w3s.append(p["w3"])
+            bs.append(p["b"])
+            relu_flags.append(r != num_rounds - 1)
+            enabled.append(True)
+        else:                                  # pad round: pass-through
+            w1s.append(jnp.zeros_like(w1s[0]))
+            w2s.append(jnp.zeros_like(w2s[0]))
+            w3s.append(jnp.zeros_like(w3s[0]))
+            bs.append(jnp.zeros_like(bs[0]))
+            relu_flags.append(False)
+            enabled.append(False)
+
+    def stage_shape(x):
+        return x.reshape((num_stages, k) + x.shape[1:])
+
+    return {
+        "w1": stage_shape(jnp.stack(w1s)),
+        "w2": stage_shape(jnp.stack(w2s)),
+        "w3": stage_shape(jnp.stack(w3s)),
+        "b": stage_shape(jnp.stack(bs)),
+        "relu": jnp.asarray(relu_flags).reshape(num_stages, k),
+        "enabled": jnp.asarray(enabled).reshape(num_stages, k),
+    }, k
 
 
-def _apply_head(params: Any, node, h, nbr):
+def _combine(a, e, c, w1, w2, w3, b, shared: bool):
+    """Linear part of ops.gnn_combine for per-node or shared weight stacks."""
+    if shared:
+        return (jnp.einsum("bnd,df->bnf", a, w1)
+                + jnp.einsum("bnd,df->bnf", e, w2)
+                + jnp.einsum("bnd,df->bnf", c, w3) + b[None, None])
+    return (jnp.einsum("bnd,ndf->bnf", a, w1)
+            + jnp.einsum("bnd,ndf->bnf", e, w2)
+            + jnp.einsum("bnd,ndf->bnf", c, w3) + b[None])
+
+
+def _apply_head(params: Any, node, h, nbr, shared: bool):
     x = jnp.concatenate([node, h, nbr], axis=-1)
     n_layers = len(params["head"])
     for li, layer in enumerate(params["head"]):
-        x = jnp.einsum("bnd,ndf->bnf", x, layer["w"]) + layer["b"][None]
+        if shared:
+            x = jnp.einsum("bnd,df->bnf", x, layer["w"]) + layer["b"][None,
+                                                                      None]
+        else:
+            x = jnp.einsum("bnd,ndf->bnf", x, layer["w"]) + layer["b"][None]
         if li < n_layers - 1:
             x = jax.nn.relu(x)
     return x
@@ -72,33 +134,37 @@ def _apply_head(params: Any, node, h, nbr):
 def make_pipelined_forward(mesh: Mesh, cfg: ModelConfig,
                            num_microbatches: int, axis: str = "stage"):
     """Build a jitted pipelined forward: (params, node [B,N,D], edge, adj)
-    -> q [B, N, A]. B must divide into num_microbatches. Parameters are
-    passed replicated; each stage reads only its own rounds (XLA keeps only
-    live buffers per shard when combined with sharded placement)."""
+    -> q [B, N, A]. B must divide into num_microbatches. GNN round weights
+    are sharded over the stage axis (each device holds only its rounds);
+    head weights ride replicated and are applied (masked) on the last
+    stage's tick output."""
     num_stages = mesh.shape[axis]
-    stage_rounds = split_rounds(cfg.gnn_rounds, num_stages)
     f = cfg.num_feedback
+    shared = cfg.share_weights
 
-    def body(params, node, edge, adj):
-        s_idx = jax.lax.axis_index(axis)
+    def body(stk, head_params, node, edge, adj):
+        # stk leaves arrive sharded: local shape [1, k, ...]
         m = num_microbatches
         mb = node.shape[0] // m
         n = node.shape[1]
+        k = stk["relu"].shape[1]
+        s_idx = jax.lax.axis_index(axis)
 
-        def stage_fn(stage, node_mb, edge_mb, adj_mb, h, nbr):
-            branches = []
-            for s in range(num_stages):
-                def mk(s):
-                    def f_(operands):
-                        node_mb, edge_mb, adj_mb, h, nbr = operands
-                        return _apply_rounds(params, stage_rounds[s], node_mb,
-                                             edge_mb, h, nbr, adj_mb, cfg)
-                    return f_
-                branches.append(mk(s))
-            return jax.lax.switch(stage, branches,
-                                  (node_mb, edge_mb, adj_mb, h, nbr))
+        def run_local_rounds(node_mb, edge_mb, adj_mb, h, nbr):
+            a_in_dim = f + node_mb.shape[-1]
+            for j in range(k):
+                w1 = stk["w1"][0, j]
+                if w1.shape[-2] != a_in_dim:
+                    raise ValueError("stacked W1 in_dim mismatch")
+                a_in = jnp.concatenate([h, node_mb], axis=-1)
+                z = _combine(a_in, edge_mb, nbr, w1, stk["w2"][0, j],
+                             stk["w3"][0, j], stk["b"][0, j], shared)
+                z = jnp.where(stk["relu"][0, j], jax.nn.relu(z), z)
+                en = stk["enabled"][0, j]
+                h = jnp.where(en, z, h)
+                nbr = jnp.where(en, aggregate_dense(h, adj_mb), nbr)
+            return h, nbr
 
-        q_out = jnp.zeros((m, mb, n, cfg.n_actions))
         h = jnp.zeros((mb, n, f))
         nbr = jnp.zeros((mb, n, f))
         # pass-through tensors ride with the activations
@@ -107,58 +173,53 @@ def make_pipelined_forward(mesh: Mesh, cfg: ModelConfig,
         adj_c = jnp.zeros((mb, n, n))
         perm = [(j, j + 1) for j in range(num_stages - 1)]
 
-        def step(t, carry):
-            q_out, node_c, edge_c, adj_c, h, nbr = carry
+        qs = []
+        for t in range(m + num_stages - 1):     # static GPipe schedule
             # stage 0 ingests microbatch t (when valid), others use the
-            # permuted activations from the previous step
+            # permuted activations from the previous tick
             valid_in = (t < m)
-            mb_idx = jnp.minimum(t, m - 1)
-            node_in = jax.lax.dynamic_slice_in_dim(node, mb_idx * mb, mb, 0)
-            edge_in = jax.lax.dynamic_slice_in_dim(edge, mb_idx * mb, mb, 0)
+            mb_idx = min(t, m - 1)
+            node_in = jax.lax.slice_in_dim(node, mb_idx * mb,
+                                           (mb_idx + 1) * mb, axis=0)
+            edge_in = jax.lax.slice_in_dim(edge, mb_idx * mb,
+                                           (mb_idx + 1) * mb, axis=0)
             adj_in = (adj if adj.ndim == 2 else
-                      jax.lax.dynamic_slice_in_dim(adj, mb_idx * mb, mb, 0))
+                      jax.lax.slice_in_dim(adj, mb_idx * mb,
+                                           (mb_idx + 1) * mb, axis=0))
             adj_in = jnp.broadcast_to(adj_in, (mb, n, n))
             is_first = s_idx == 0
-            node_c = jnp.where(is_first & valid_in, node_in, node_c)
-            edge_c = jnp.where(is_first & valid_in, edge_in, edge_c)
-            adj_c = jnp.where(is_first & valid_in, adj_in, adj_c)
+            ingest = is_first & valid_in
+            node_c = jnp.where(ingest, node_in, node_c)
+            edge_c = jnp.where(ingest, edge_in, edge_c)
+            adj_c = jnp.where(ingest, adj_in, adj_c)
             h = jnp.where(is_first, jnp.zeros_like(h), h)
             nbr = jnp.where(is_first, jnp.zeros_like(nbr), nbr)
 
-            h2, nbr2 = stage_fn(s_idx, node_c, edge_c, adj_c, h, nbr)
+            h2, nbr2 = run_local_rounds(node_c, edge_c, adj_c, h, nbr)
 
-            # last stage finishes microbatch t - (S-1)
-            done_mb = t - (num_stages - 1)
-            is_last = s_idx == num_stages - 1
-            q = _apply_head(params, node_c, h2, nbr2)
-            write = is_last & (done_mb >= 0)
-            q_out = jax.lax.dynamic_update_slice_in_dim(
-                q_out,
-                jnp.where(write, q, jnp.zeros_like(q))[None],
-                jnp.maximum(done_mb, 0), axis=0)
+            # the last stage finishes microbatch t-(S-1) at this tick; the
+            # head output is only meaningful there, and the wrapper below
+            # slices exactly the last stage's shard, so no masking needed
+            if t >= num_stages - 1:
+                qs.append(_apply_head(head_params, node_c, h2, nbr2, shared))
 
             # hop activations (and pass-throughs) to the next stage
             node_c, edge_c, adj_c, h, nbr = jax.tree.map(
                 lambda x: jax.lax.ppermute(x, axis, perm),
                 (node_c, edge_c, adj_c, h2, nbr2))
-            return (q_out, node_c, edge_c, adj_c, h, nbr)
 
-        carry = (q_out, node_c, edge_c, adj_c, h, nbr)
-        for t in range(m + num_stages - 1):      # static unroll
-            carry = step(t, carry)
-        q_out = carry[0]
-        # every stage emits its q buffer (zeros except the last stage);
-        # out_specs stacks them over the axis and the wrapper slices the
-        # last stage's shard — avoids a psum on the output path
-        return q_out.reshape(m * mb, n, cfg.n_actions)[None]
+        q_out = jnp.concatenate(qs, axis=0)      # [m*mb, n, A]
+        return q_out[None]
 
     mapped = shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(), P(), P()),
+        in_specs=(P(axis), P(), P(), P(), P()),
         out_specs=P(axis))
 
     def run(params, node, edge, adj):
-        stacked = mapped(params, node, edge, adj)   # [S, B, N, A]
+        stk, _ = _stack_stage_params(params, cfg, num_stages)
+        head = {"head": params["head"]}
+        stacked = mapped(stk, head, node, edge, adj)   # [S, B, N, A]
         return stacked[num_stages - 1]
 
     return jax.jit(run)

@@ -40,10 +40,6 @@ class TestPipelineForward:
         want = np.asarray(gnn_dqn.apply(params, node, edge, adj, CFG))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
-    @pytest.mark.skip(reason="XLA CPU thunk executor segfaults executing the "
-                      "pipeline backward (ppermute and switch grads each "
-                      "work in isolation — backend crash, not semantics); "
-                      "forward-path equivalence is covered above")
     def test_grad_through_pipeline(self):
         mesh = mesh_lib.make_mesh((2,), ("stage",),
                                   devices=jax.devices()[:2])
