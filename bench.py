@@ -5,7 +5,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Primary metric: full DQN train steps/s — one step = 50 epsilon-greedy env
 transitions (rollout burst) + one batch-512 replay update + target-sync
 check, i.e. exactly the reference's per-train-step workload
-(BS_brain.py:758,818-847), executed as a single fused XLA program.
+(BS_brain.py:758,818-847). Measured on the production training path
+(`dqn.train_episodes`: a multi-episode chunk — fresh env per episode +
+scanned train steps — as ONE device program, the architecture every
+training driver in this repo uses). The single-step-per-dispatch time is
+also reported on stderr; on a tunnel-attached runtime it is dominated by
+dispatch latency, which the episode-fused path amortizes away.
 
 vs_baseline: speedup over a "reference-architecture" proxy that performs the
 same workload the way the reference does — a host Python loop issuing one
@@ -72,6 +77,32 @@ def main():
     fused_step_time = (time.perf_counter() - t0) / n_iters
     fused_steps_per_s = 1.0 / fused_step_time
 
+    # --- production path: episode-fused chunks ---------------------------
+    # One dispatch = `chunk` episodes x `steps_per_episode` train steps
+    # (fresh env per episode, scanned steps, packed metrics) — exactly what
+    # scripts/train_artifact_run.py and resilient_train.py execute. The
+    # agent is donated and carried call-to-call, so the timing chain is a
+    # serialized dependency chain (no dispatch elision, CLAUDE.md).
+    chunk, steps_per_episode = 5, train_cfg.num_train_steps
+    episodes_fn = jax.jit(
+        dqn.train_episodes,
+        static_argnums=(2, 3, 4, 5, 6, 7, 8), donate_argnums=(0,))
+    for i in range(25):   # warm dispatch path
+        agent, packed = episodes_fn(agent, jax.random.fold_in(key, 3000 + i),
+                                    env_cfg, model_cfg, train_cfg, chunk,
+                                    steps_per_episode, total_steps)
+    jax.block_until_ready(packed)
+    n_chunks = 40
+    t0 = time.perf_counter()
+    for i in range(n_chunks):
+        agent, packed = episodes_fn(agent, jax.random.fold_in(key, 4000 + i),
+                                    env_cfg, model_cfg, train_cfg, chunk,
+                                    steps_per_episode, total_steps)
+    jax.block_until_ready(packed)
+    prod_step_time = ((time.perf_counter() - t0)
+                      / (n_chunks * chunk * steps_per_episode))
+    prod_steps_per_s = 1.0 / prod_step_time
+
     # --- reference-architecture proxy ------------------------------------
     # host loop: per transition one single-sample predict + one env step
     # (50 dispatches), then one batched replay update — the reference's
@@ -110,14 +141,16 @@ def main():
     proxy_step_time = (time.perf_counter() - t0) / n_proxy
     proxy_steps_per_s = 1.0 / proxy_step_time
 
-    vs_baseline = fused_steps_per_s / proxy_steps_per_s
-    print(f"fused: {fused_step_time*1e3:.2f} ms/step "
+    vs_baseline = prod_steps_per_s / proxy_steps_per_s
+    print(f"episode-fused (production): {prod_step_time*1e6:.1f} us/step "
+          f"({prod_steps_per_s:.0f} steps/s); single-step dispatch: "
+          f"{fused_step_time*1e3:.2f} ms/step "
           f"({fused_steps_per_s:.2f} steps/s); proxy host-loop: "
           f"{proxy_step_time*1e3:.2f} ms/step "
           f"({proxy_steps_per_s:.2f} steps/s)", file=sys.stderr)
     print(json.dumps({
         "metric": "dqn_train_steps_per_s",
-        "value": round(fused_steps_per_s, 3),
+        "value": round(prod_steps_per_s, 3),
         "unit": "steps/s",
         "vs_baseline": round(vs_baseline, 3),
     }))
