@@ -100,6 +100,18 @@ def main(argv=None):
                 iters=args.iters)
     report("sddmm_pallas", e, t_s)
 
+    # neighbor-sampled fixed-degree aggregation (BASELINE config 4 sampling)
+    k = 16
+    csr = graph_lib.to_csr(g)
+    fd = jax.jit(graph_lib.sample_neighbors, static_argnums=2)(
+        jax.random.PRNGKey(2), csr, k)
+    t_fd = bench(lambda h: spmm.spmm_fixed_degree(h, fd), h,
+                 iters=args.iters)
+    report(f"spmm_sampled_k{k}_fwd", n * k, t_fd)
+    fd_fb = jax.grad(lambda h: jnp.sum(spmm.spmm_fixed_degree(h, fd) * h))
+    t_fdg = bench(fd_fb, h, iters=args.iters)
+    report(f"spmm_sampled_k{k}_fwdbwd", n * k, t_fdg)
+
     h16 = h.astype(jnp.bfloat16)
     t_p16 = bench(lambda h: spmm.spmm_blocked(h, fwd_b, impl="pallas"), h16,
                   iters=args.iters)

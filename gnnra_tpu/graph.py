@@ -185,6 +185,83 @@ def block_by_receiver(graph: COOGraph, r_block: int = 128,
                         r_block=r_block, num_edges=graph.num_edges)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CSRGraph:
+    """Receiver-sorted CSR layout: edges incoming to node r live at
+    [offsets[r], offsets[r+1]). Host-built once per topology; device
+    arrays so `sample_neighbors` runs under jit."""
+
+    offsets: jax.Array     # [N+1] int32
+    senders: jax.Array     # [E] int32 (sorted by receiver)
+    weights: jax.Array     # [E] float32
+    num_nodes: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.senders.shape[0])
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FixedDegreeGraph:
+    """Uniform-K sampled neighborhood (BASELINE config 4 "neighbor
+    sampling"): exactly K in-edges per node. The layout is MXU/gather
+    friendly — aggregation needs no one-hot or segment ids at all, just a
+    [N, K] row gather and a weighted reduction over K
+    (`ops.spmm.spmm_fixed_degree`)."""
+
+    senders: jax.Array     # [N, K] int32 (self-pointing slots have weight 0)
+    weights: jax.Array     # [N, K] float32; d/K importance scaling included
+    num_nodes: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def k(self) -> int:
+        return int(self.senders.shape[1])
+
+
+def to_csr(graph: COOGraph) -> CSRGraph:
+    """Host-side COO -> receiver-sorted CSR (O(E) counting sort)."""
+    senders = np.asarray(graph.senders)
+    receivers = np.asarray(graph.receivers)
+    weights = np.asarray(graph.weights)
+    n = graph.num_nodes
+    order = np.argsort(receivers, kind="stable")
+    counts = np.bincount(receivers, minlength=n)
+    offsets = np.zeros(n + 1, np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    return CSRGraph(offsets=jnp.asarray(offsets),
+                    senders=jnp.asarray(senders[order]),
+                    weights=jnp.asarray(weights[order]),
+                    num_nodes=n)
+
+
+def sample_neighbors(key: jax.Array, csr: CSRGraph, k: int
+                     ) -> FixedDegreeGraph:
+    """Uniform-with-replacement K-neighbor sampling (GraphSAGE-style),
+    fully on device / under jit.
+
+    Per node r with in-degree d: draw K edge slots uniformly from its CSR
+    row; the sampled weight is w_e * d / K, making the sampled aggregation
+    an unbiased estimator of the full-sum SpMM
+    (E[sum_k w_k h_k] = sum_e w_e h_e). Degree-0 nodes get weight 0.
+    """
+    n = csr.num_nodes
+    starts = csr.offsets[:-1]                            # [N]
+    degs = csr.offsets[1:] - starts                      # [N]
+    u = jax.random.uniform(key, (n, k))
+    # floor(u * d) in [0, d); d = 0 rows clamp to slot 0 and are masked
+    pick = starts[:, None] + jnp.minimum(
+        (u * degs[:, None]).astype(jnp.int32),
+        jnp.maximum(degs[:, None] - 1, 0))
+    senders = csr.senders[pick]                          # [N, K]
+    w = csr.weights[pick] * (degs[:, None].astype(jnp.float32) / k)
+    w = jnp.where(degs[:, None] > 0, w, 0.0)
+    senders = jnp.where(degs[:, None] > 0, senders,
+                        jnp.arange(n, dtype=jnp.int32)[:, None])
+    return FixedDegreeGraph(senders=senders, weights=w, num_nodes=n)
+
+
 def partition_edges(graph: COOGraph, num_partitions: int
                     ) -> Tuple[COOGraph, ...]:
     """Split the edge list into contiguous shards (for edge-partitioned

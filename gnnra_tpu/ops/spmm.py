@@ -219,6 +219,28 @@ def make_weighted_spmm(fwd_blocked: BlockedGraph, bwd_blocked: BlockedGraph,
 
 
 # ---------------------------------------------------------------------------
+# Fixed-degree (sampled-neighborhood) SpMM — BASELINE config 4 sampling path
+# ---------------------------------------------------------------------------
+
+def spmm_fixed_degree(h: jax.Array, fd) -> jax.Array:
+    """SpMM over a `graph.FixedDegreeGraph` (uniform-K sampled in-edges):
+
+      out[r] = sum_k fd.weights[r, k] * h[fd.senders[r, k]]
+
+    The fixed-degree layout removes segment ids entirely: one [N, K] row
+    gather + a weighted K-reduction, both of which XLA fuses — no one-hot,
+    no Pallas needed. With the d/K importance scaling from
+    `graph.sample_neighbors` this is an unbiased estimator of the full
+    `spmm_coo` aggregation (GraphSAGE-style; the reference's dense 4-node
+    AggLayer BS_brain.py:69-76 is the K=N-1 special case). Differentiable
+    in both h and fd.weights through native XLA VJPs.
+    """
+    msgs = h[fd.senders]                                 # [N, K, F]
+    return jnp.einsum("nk,nkf->nf", fd.weights.astype(h.dtype), msgs,
+                      preferred_element_type=jnp.float32).astype(h.dtype)
+
+
+# ---------------------------------------------------------------------------
 # SDDMM
 # ---------------------------------------------------------------------------
 

@@ -155,3 +155,101 @@ class TestWeightedSpmm:
         np.testing.assert_array_equal(real, np.arange(400))
         # padding slots carry the sentinel id E
         assert np.all(ids[~mask] == 400)
+
+
+class TestNeighborSampling:
+    """CSR + uniform-K sampling + fixed-degree SpMM (BASELINE config 4)."""
+
+    def test_csr_roundtrip(self):
+        g = make_graph(seed=30, n=120, e=600)
+        csr = graph_lib.to_csr(g)
+        offs = np.asarray(csr.offsets)
+        send = np.asarray(csr.senders)
+        w = np.asarray(csr.weights)
+        # every CSR row holds exactly the original in-edges of that node
+        for r in (0, 5, 77, 119):
+            row = sorted(zip(send[offs[r]:offs[r + 1]],
+                             w[offs[r]:offs[r + 1]]))
+            mask = np.asarray(g.receivers) == r
+            orig = sorted(zip(np.asarray(g.senders)[mask],
+                              np.asarray(g.weights)[mask]))
+            assert row == orig
+
+    def test_sampled_edges_are_real_edges(self):
+        g = make_graph(seed=31, n=80, e=400, weighted=False)
+        csr = graph_lib.to_csr(g)
+        fd = jax.jit(graph_lib.sample_neighbors,
+                     static_argnums=2)(jax.random.PRNGKey(0), csr, 8)
+        send = np.asarray(fd.senders)
+        w = np.asarray(fd.weights)
+        offs = np.asarray(csr.offsets)
+        csr_send = np.asarray(csr.senders)
+        degs = offs[1:] - offs[:-1]
+        for r in range(80):
+            nbrs = set(csr_send[offs[r]:offs[r + 1]])
+            if degs[r] == 0:
+                assert np.all(w[r] == 0)
+            else:
+                assert set(send[r]) <= nbrs
+                # unbiased importance scaling: w = d / K for unit weights
+                np.testing.assert_allclose(w[r], degs[r] / 8, rtol=1e-6)
+
+    def test_fixed_degree_spmm_full_neighborhood_exact(self):
+        # K large enough to observe: sampling with replacement is still an
+        # unbiased estimator; but with K == d and distinct draws impossible
+        # to force, instead check the deterministic contract directly: a
+        # hand-built FixedDegreeGraph must reproduce the dense aggregation.
+        g = make_graph(seed=32, n=6, e=18, weighted=True)
+        dense = np.zeros((6, 6), np.float32)
+        for s, r, w in zip(np.asarray(g.senders), np.asarray(g.receivers),
+                           np.asarray(g.weights)):
+            dense[s, r] += w
+        # build the K=6 fixed-degree layout: every node attends all nodes
+        senders = jnp.broadcast_to(jnp.arange(6, dtype=jnp.int32), (6, 6))
+        weights = jnp.asarray(dense.T)                  # [r, s] = w(s->r)
+        fd = graph_lib.FixedDegreeGraph(senders=senders, weights=weights,
+                                        num_nodes=6)
+        h = jax.random.normal(jax.random.PRNGKey(3), (6, 16))
+        got = spmm.spmm_fixed_degree(h, fd)
+        want = spmm.spmm_coo(h, g)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_sampled_spmm_unbiased(self):
+        g = make_graph(seed=33, n=100, e=1500, weighted=True)
+        csr = graph_lib.to_csr(g)
+        h = jax.random.normal(jax.random.PRNGKey(4), (100, 8))
+
+        @jax.jit
+        def one(key):
+            fd = graph_lib.sample_neighbors(key, csr, 4)
+            return spmm.spmm_fixed_degree(h, fd)
+
+        keys = jax.random.split(jax.random.PRNGKey(5), 8000)
+        est = jnp.mean(jax.vmap(one)(keys), axis=0)
+        want = spmm.spmm_coo(h, g)
+        # Monte-Carlo mean converges to the exact aggregation
+        err = float(jnp.max(jnp.abs(est - want))
+                    / (jnp.max(jnp.abs(want)) + 1e-9))
+        assert err < 0.05, err
+
+    def test_fixed_degree_grads(self):
+        g = make_graph(seed=34, n=50, e=300, weighted=True)
+        csr = graph_lib.to_csr(g)
+        fd = graph_lib.sample_neighbors(jax.random.PRNGKey(6), csr, 5)
+        h = jax.random.normal(jax.random.PRNGKey(7), (50, 8))
+
+        def loss(h, w):
+            fd2 = graph_lib.FixedDegreeGraph(senders=fd.senders, weights=w,
+                                             num_nodes=50)
+            return jnp.sum(jnp.sin(spmm.spmm_fixed_degree(h, fd2)))
+
+        dh, dw = jax.grad(loss, argnums=(0, 1))(h, fd.weights)
+        # numeric check on a few coordinates
+        eps = 1e-3
+        for idx in [(0, 0), (13, 3), (49, 7)]:
+            hp = h.at[idx].add(eps)
+            hm = h.at[idx].add(-eps)
+            num = (loss(hp, fd.weights) - loss(hm, fd.weights)) / (2 * eps)
+            np.testing.assert_allclose(float(dh[idx]), float(num),
+                                       rtol=2e-2, atol=1e-3)
