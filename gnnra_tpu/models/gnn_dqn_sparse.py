@@ -33,6 +33,14 @@ def aggregate_coo(graph: COOGraph) -> AggregateFn:
     return lambda h: spmm_lib.spmm_coo(h, graph)
 
 
+def aggregate_fixed_degree(fd) -> AggregateFn:
+    """Sampled-neighborhood aggregation (graph.FixedDegreeGraph from
+    `graph.sample_neighbors`): unbiased estimator of the full aggregation,
+    gather-only forward — the BASELINE config 4 sampling path. Resample per
+    step (new key -> new fd) for fresh estimator noise."""
+    return lambda h: spmm_lib.spmm_fixed_degree(h, fd)
+
+
 def init_params(key: jax.Array, cfg: ModelConfig):
     """Shared-weight parameter pytree (cfg.share_weights must be True)."""
     assert cfg.share_weights, "sparse model uses shared per-node weights"

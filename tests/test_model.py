@@ -268,3 +268,66 @@ class TestSparseModel:
         gr = jax.grad(lambda p: float(0) + jnp.sum(
             gnn_dqn_sparse.apply(p, node, edge, op, cfg) ** 2))(params)
         assert np.isfinite(np.asarray(gr["gnn"][0]["w1"]).sum())
+
+    def test_sampled_aggregation_full_k_equals_exact(self):
+        # K-sampling with K >= max in-degree and replacement is NOT exact,
+        # but the fixed-degree closure with a hand-built full neighborhood
+        # must match aggregate_coo exactly through the whole model.
+        from gnnra_tpu import graph as graph_lib
+        from gnnra_tpu.models import gnn_dqn_sparse
+        cfg = ModelConfig(share_weights=True)
+        n = 8
+        rng = np.random.RandomState(5)
+        adj = (rng.rand(n, n) < 0.5).astype(np.float32)
+        np.fill_diagonal(adj, 0)
+        g = graph_lib.from_dense_adjacency(adj)
+        senders = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (n, n))
+        fd = graph_lib.FixedDegreeGraph(senders=senders,
+                                        weights=jnp.asarray(adj.T),
+                                        num_nodes=n)
+        params = gnn_dqn_sparse.init_params(jax.random.PRNGKey(6), cfg)
+        node = jnp.asarray(rng.randn(n, 9), np.float32)
+        edge = jnp.asarray(rng.randn(n, 4), np.float32)
+        q_fd = gnn_dqn_sparse.apply(
+            params, node, edge, gnn_dqn_sparse.aggregate_fixed_degree(fd),
+            cfg)
+        q_ref = gnn_dqn_sparse.apply(
+            params, node, edge, gnn_dqn_sparse.aggregate_coo(g), cfg)
+        np.testing.assert_allclose(np.asarray(q_fd), np.asarray(q_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_sampled_aggregation_grads_flow(self):
+        from gnnra_tpu import graph as graph_lib
+        from gnnra_tpu.models import gnn_dqn_sparse
+        cfg = ModelConfig(share_weights=True)
+        n = 64
+        g = graph_lib.random_graph_host(7, n, 512)
+        csr = graph_lib.to_csr(g)
+        fd = graph_lib.sample_neighbors(jax.random.PRNGKey(8), csr, 6)
+        params = gnn_dqn_sparse.init_params(jax.random.PRNGKey(9), cfg)
+        rng = np.random.RandomState(10)
+        node = jnp.asarray(rng.randn(n, 9), np.float32)
+        edge = jnp.asarray(rng.randn(n, 4), np.float32)
+        agg = gnn_dqn_sparse.aggregate_fixed_degree(fd)
+        gr = jax.grad(lambda p: jnp.sum(
+            gnn_dqn_sparse.apply(p, node, edge, agg, cfg) ** 2))(params)
+        leaves = [np.asarray(x) for x in jax.tree.leaves(gr)]
+        assert all(np.all(np.isfinite(x)) for x in leaves)
+        assert any(np.abs(x).sum() > 0 for x in leaves)
+
+
+class TestDistributedInit:
+    def test_noop_paths(self, monkeypatch):
+        from gnnra_tpu.parallel import distributed
+        monkeypatch.delenv("GNNRA_COORDINATOR", raising=False)
+        monkeypatch.delenv("GNNRA_NPROC", raising=False)
+        assert distributed.initialize_from_env() is False
+        monkeypatch.setenv("GNNRA_NPROC", "1")
+        assert distributed.initialize_from_env() is False
+        assert distributed.initialize_from_env(num_processes=1) is False
+
+    def test_single_process_helpers(self):
+        from gnnra_tpu.parallel import distributed
+        assert distributed.is_primary() is True
+        mesh = distributed.global_mesh()
+        assert mesh.devices.size == len(jax.devices())
