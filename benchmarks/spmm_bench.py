@@ -62,6 +62,10 @@ def main(argv=None):
     parser.add_argument("--edges", type=int, default=1_000_000)
     parser.add_argument("--dim", type=int, default=128)
     parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--skip-xla-baseline", action="store_true",
+                        help="skip the XLA segment-sum baselines (they are "
+                        "O(10x) slower than the kernels; at 10M+ edges they "
+                        "dominate the run)")
     args = parser.parse_args(argv)
 
     from gnnra_tpu import graph as graph_lib
@@ -82,19 +86,23 @@ def main(argv=None):
                                weights=jnp.asarray(g.weights),
                                num_nodes=g.num_nodes)
 
-    t_x = bench(lambda h: spmm.spmm_coo(h, g_dev), h, iters=args.iters)
+    t_x = (None if args.skip_xla_baseline else
+           bench(lambda h: spmm.spmm_coo(h, g_dev), h, iters=args.iters))
     t_p = bench(lambda h: spmm.spmm_blocked(h, fwd_b, impl="pallas"), h,
                 iters=args.iters)
     report("spmm_fwd_pallas", e, t_p, baseline_seconds=t_x)
-    report("spmm_fwd_xla_segsum", e, t_x)
+    if t_x is not None:
+        report("spmm_fwd_xla_segsum", e, t_x)
 
     op = spmm.make_spmm(fwd_b, bwd_b, impl="pallas")
     pallas_fb = jax.grad(lambda h: jnp.sum(op(h) * h))
     xla_fb = jax.grad(lambda h: jnp.sum(spmm.spmm_coo(h, g_dev) * h))
-    t_xg = bench(xla_fb, h, iters=args.iters)
+    t_xg = (None if args.skip_xla_baseline else
+            bench(xla_fb, h, iters=args.iters))
     t_pg = bench(pallas_fb, h, iters=args.iters)
     report("spmm_fwdbwd_pallas", e, t_pg, baseline_seconds=t_xg)
-    report("spmm_fwdbwd_xla_segsum", e, t_xg)
+    if t_xg is not None:
+        report("spmm_fwdbwd_xla_segsum", e, t_xg)
 
     t_s = bench(lambda h: spmm.sddmm_blocked(h, h, fwd_b, impl="pallas"), h,
                 iters=args.iters)
