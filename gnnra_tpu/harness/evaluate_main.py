@@ -37,6 +37,8 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=1)
     parser.add_argument("--results-base", default="results")
     parser.add_argument("--no-plots", action="store_true")
+    parser.add_argument("--eps", action="store_true",
+                        help="also save .eps figures (reference parity)")
     args = parser.parse_args(argv)
 
     agent = build_agent(args.preset, seed=args.seed,
@@ -63,7 +65,8 @@ def main(argv=None):
         plotting.plot_evaluation(
             results, agent.results_dir,
             interval=agent.eval_cfg.evaluation_episode_interval,
-            opt_return=opt_ret)
+            opt_return=opt_ret,
+            formats=("png", "eps") if args.eps else ("png",))
     return results
 
 

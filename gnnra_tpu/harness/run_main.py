@@ -70,6 +70,8 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=1)
     parser.add_argument("--results-base", default="results")
     parser.add_argument("--no-plots", action="store_true")
+    parser.add_argument("--eps", action="store_true",
+                        help="also save .eps figures (reference parity)")
     args = parser.parse_args(argv)
 
     agent = build_agent(args.preset, seed=args.seed,
@@ -85,7 +87,9 @@ def main(argv=None):
     np.savez_compressed(out, **results)
     print(f"saved test results to {out}")
     if not args.no_plots:
-        plotting.plot_test(results, agent.results_dir)
+        plotting.plot_test(results, agent.results_dir,
+                           formats=("png", "eps") if args.eps
+                           else ("png",))
     return results, summary
 
 

@@ -62,6 +62,8 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--results-base", default="results")
     parser.add_argument("--no-plots", action="store_true")
+    parser.add_argument("--eps", action="store_true",
+                        help="also save .eps figures (reference parity)")
     args = parser.parse_args(argv)
 
     agent = build_agent(args.preset, args.episodes, args.batch_size,
@@ -72,7 +74,9 @@ def main(argv=None):
     path = save_train_results(results, agent.results_dir)
     print(f"saved training results to {path}")
     if not args.no_plots:
-        plotting.plot_training(results, agent.results_dir)
+        plotting.plot_training(results, agent.results_dir,
+                               formats=("png", "eps") if args.eps
+                               else ("png",))
     return results
 
 

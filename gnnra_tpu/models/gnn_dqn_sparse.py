@@ -48,11 +48,18 @@ def init_params(key: jax.Array, cfg: ModelConfig):
 
 
 def apply(params, node: jax.Array, edge: jax.Array,
-          aggregate: AggregateFn, cfg: ModelConfig) -> jax.Array:
+          aggregate: AggregateFn, cfg: ModelConfig,
+          remat: bool = False) -> jax.Array:
     """Forward over one graph: node [N, D], edge [N, De] -> q [N, A].
 
     Same round structure as the dense model (reference BS_brain.py:147-200);
     aggregation happens through the injected sparse op.
+
+    remat=True wraps each message-passing round in `jax.checkpoint`: the
+    backward pass recomputes round activations instead of keeping
+    2 x rounds x [N, F] buffers live — at 100k+ nodes that trades a cheap
+    re-forward for hundreds of MB of HBM, the standard TPU
+    rematerialization move for deep variants.
     """
     compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     node = node.astype(compute_dtype)
@@ -64,16 +71,21 @@ def apply(params, node: jax.Array, edge: jax.Array,
         return jnp.einsum("nd,df->nf", x, w.astype(compute_dtype)) \
             + b.astype(compute_dtype)[None]
 
-    nbr = jnp.zeros((n, f), compute_dtype)
-    h = None
-    for r in range(cfg.gnn_rounds):
-        p = params["gnn"][r]
+    def round_fn(r, p, h, nbr):
         a_in = node if r == 0 else jnp.concatenate([h, node], axis=-1)
         out = (dense(a_in, p["w1"], p["b"])
                + jnp.einsum("nd,df->nf", edge, p["w2"].astype(compute_dtype))
                + jnp.einsum("nd,df->nf", nbr, p["w3"].astype(compute_dtype)))
         h = out if r == cfg.gnn_rounds - 1 else jax.nn.relu(out)
         nbr = aggregate(h.astype(jnp.float32)).astype(compute_dtype)
+        return h, nbr
+
+    nbr = jnp.zeros((n, f), compute_dtype)
+    h = jnp.zeros((n, f), compute_dtype)
+    for r in range(cfg.gnn_rounds):
+        fn = (jax.checkpoint(round_fn, static_argnums=(0,)) if remat
+              else round_fn)
+        h, nbr = fn(r, params["gnn"][r], h, nbr)
 
     x = jnp.concatenate([node, h, nbr], axis=-1)
     n_layers = len(params["head"])

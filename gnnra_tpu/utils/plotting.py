@@ -11,9 +11,22 @@ never dies on a plotting backend.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict, Optional, Sequence
 
 import numpy as np
+
+# The reference saves every figure as .png AND .eps (RL_Train_main.py:257-274,
+# RL_Run_main.py:504-530); default here is png-only, pass
+# formats=("png", "eps") for full reference parity.
+DEFAULT_FORMATS = ("png",)
+
+
+def _save(fig, plt, out_dir: str, name: str,
+          formats: Sequence[str] = DEFAULT_FORMATS) -> None:
+    for fmt in formats:
+        fig.savefig(os.path.join(out_dir, f"{name}.{fmt}"),
+                    dpi=120 if fmt == "png" else None)
+    plt.close(fig)
 
 
 def _get_plt():
@@ -37,15 +50,15 @@ def smooth(curve: np.ndarray, window: int = 50) -> np.ndarray:
 
 
 def plot_training(results: Dict[str, np.ndarray], out_dir: str,
-                  window: int = 50) -> None:
+                  window: int = 50,
+                  formats: Sequence[str] = DEFAULT_FORMATS) -> None:
     plt = _get_plt()
     if plt is None:
         return
     os.makedirs(out_dir, exist_ok=True)
 
     def save(fig, name):
-        fig.savefig(os.path.join(out_dir, name + ".png"), dpi=120)
-        plt.close(fig)
+        _save(fig, plt, out_dir, name, formats)
 
     loss = results["train_loss"]            # [N, E, S]
     n = loss.shape[0]
@@ -84,7 +97,8 @@ def plot_training(results: Dict[str, np.ndarray], out_dir: str,
 
 def plot_evaluation(results: Dict[str, np.ndarray], out_dir: str,
                     interval: int = 5,
-                    opt_return: Optional[float] = None) -> None:
+                    opt_return: Optional[float] = None,
+                    formats: Sequence[str] = DEFAULT_FORMATS) -> None:
     """Mean +/- standard-error return bands over trials (reference
     RL_Evaluated_main...:331-369)."""
     plt = _get_plt()
@@ -105,11 +119,11 @@ def plot_evaluation(results: Dict[str, np.ndarray], out_dir: str,
     ax.set_xlabel("training episode")
     ax.set_ylabel("return")
     ax.legend()
-    fig.savefig(os.path.join(out_dir, "evaluation-return.png"), dpi=120)
-    plt.close(fig)
+    _save(fig, plt, out_dir, "evaluation-return", formats)
 
 
-def plot_test(results: Dict[str, np.ndarray], out_dir: str) -> None:
+def plot_test(results: Dict[str, np.ndarray], out_dir: str,
+              formats: Sequence[str] = DEFAULT_FORMATS) -> None:
     """Test-run summaries: per-episode returns RL vs RA (vs Opt), V2I
     sum-rate success ratio vs thresholds (reference RL_Run_main.py:443-461)."""
     plt = _get_plt()
@@ -124,8 +138,7 @@ def plot_test(results: Dict[str, np.ndarray], out_dir: str) -> None:
     ax.set_xlabel("episode (sorted)")
     ax.set_ylabel("return")
     ax.legend()
-    fig.savefig(os.path.join(out_dir, "test-returns.png"), dpi=120)
-    plt.close(fig)
+    _save(fig, plt, out_dir, "test-returns", formats)
 
     # V2I sum-rate success ratio vs thresholds 18..30 bit/s/Hz
     thresholds = np.arange(18, 31)
@@ -138,8 +151,7 @@ def plot_test(results: Dict[str, np.ndarray], out_dir: str) -> None:
     ax.set_xlabel("V2I sum-rate threshold (bit/s/Hz)")
     ax.set_ylabel("success ratio")
     ax.legend()
-    fig.savefig(os.path.join(out_dir, "v2i-success-ratio.png"), dpi=120)
-    plt.close(fig)
+    _save(fig, plt, out_dir, "v2i-success-ratio", formats)
 
 
 def success_ratios(v2i_rate: np.ndarray, thresholds=range(18, 31)

@@ -315,6 +315,34 @@ class TestSparseModel:
         assert all(np.all(np.isfinite(x)) for x in leaves)
         assert any(np.abs(x).sum() > 0 for x in leaves)
 
+    def test_remat_matches_plain(self):
+        from gnnra_tpu import graph as graph_lib
+        from gnnra_tpu.models import gnn_dqn_sparse
+        cfg = ModelConfig(share_weights=True, gnn_rounds=4)
+        n = 120
+        g = graph_lib.random_graph_host(11, n, 900)
+        params = gnn_dqn_sparse.init_params(jax.random.PRNGKey(12), cfg)
+        rng = np.random.RandomState(13)
+        node = jnp.asarray(rng.randn(n, 9), np.float32)
+        edge = jnp.asarray(rng.randn(n, 4), np.float32)
+        agg = gnn_dqn_sparse.aggregate_coo(g)
+
+        q_plain = gnn_dqn_sparse.apply(params, node, edge, agg, cfg)
+        q_remat = gnn_dqn_sparse.apply(params, node, edge, agg, cfg,
+                                       remat=True)
+        np.testing.assert_allclose(np.asarray(q_remat), np.asarray(q_plain),
+                                   rtol=1e-6, atol=1e-7)
+
+        g1 = jax.grad(lambda p: jnp.sum(
+            gnn_dqn_sparse.apply(p, node, edge, agg, cfg) ** 2))(params)
+        g2 = jax.grad(lambda p: jnp.sum(
+            gnn_dqn_sparse.apply(p, node, edge, agg, cfg,
+                                 remat=True) ** 2))(params)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+
 
 class TestDistributedInit:
     def test_noop_paths(self, monkeypatch):

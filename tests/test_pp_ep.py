@@ -40,12 +40,13 @@ class TestPipelineForward:
         want = np.asarray(gnn_dqn.apply(params, node, edge, adj, CFG))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
-    def test_grad_through_pipeline(self):
-        mesh = mesh_lib.make_mesh((2,), ("stage",),
-                                  devices=jax.devices()[:2])
+    @pytest.mark.parametrize("stages,microbatches", [(2, 2), (4, 4)])
+    def test_grad_through_pipeline(self, stages, microbatches):
+        mesh = mesh_lib.make_mesh((stages,), ("stage",),
+                                  devices=jax.devices()[:stages])
         params = gnn_dqn.init_params(jax.random.PRNGKey(1), CFG)
         node, edge, adj = make_inputs(seed=2)
-        fwd = pp.make_pipelined_forward(mesh, CFG, 2)
+        fwd = pp.make_pipelined_forward(mesh, CFG, microbatches)
 
         g_pp = jax.grad(lambda p: jnp.sum(fwd(p, node, edge, adj) ** 2))(
             params)
