@@ -84,3 +84,29 @@ class TestPlotting:
         plotting.plot_training(results, str(tmp_path), window=10)
         assert os.path.exists(tmp_path / "train-loss.png")
         assert os.path.exists(tmp_path / "return-per-episode.png")
+
+
+class TestProfiling:
+    def test_trace_capture_writes_files(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from gnnra_tpu.utils import profiling
+        log_dir = str(tmp_path / "trace")
+        with profiling.trace(log_dir):
+            with profiling.named_scope("profiled-matmul"):
+                x = jax.jit(lambda a: a @ a)(jnp.ones((64, 64)))
+            jax.block_until_ready(x)
+        import os
+        found = []
+        for root, _, files in os.walk(log_dir):
+            found.extend(files)
+        assert found, "profiler trace produced no files"
+
+    def test_throughput_counter(self):
+        from gnnra_tpu.utils import profiling
+        t = profiling.Throughput("steps")
+        t.start()
+        t.add(100)
+        rate = t.rate()
+        assert rate > 0
+        assert profiling.edges_per_second(1_000_000, 0.5) == 2_000_000
