@@ -79,25 +79,34 @@ def main():
 
     # --- production path: episode-fused chunks ---------------------------
     # One dispatch = `chunk` episodes x `steps_per_episode` train steps
-    # (fresh env per episode, scanned steps, packed metrics) — exactly what
-    # scripts/train_artifact_run.py and resilient_train.py execute. The
-    # agent is donated and carried call-to-call, so the timing chain is a
-    # serialized dependency chain (no dispatch elision, CLAUDE.md).
-    chunk, steps_per_episode = 5, train_cfg.num_train_steps
+    # (fresh env per episode, scanned steps, packed metrics) — the
+    # architecture harness.Agent.train and the training scripts execute.
+    # The chunk is NOT bounded by the reference's every-5-episode
+    # checkpoint cadence (BS_brain.py:791): dqn.train_episodes_snapshots
+    # emits in-chunk (params, target, env_step) snapshots every 5 episodes
+    # and the host writes checkpoints from those. The timed loop includes
+    # pulling the packed metrics AND all snapshot weights to host, exactly
+    # like the harness. The agent is donated and carried call-to-call, so
+    # the timing chain is a serialized dependency chain (no dispatch
+    # elision, CLAUDE.md).
+    chunk, steps_per_episode = train_cfg.episode_chunk, \
+        train_cfg.num_train_steps
+    snap_every = train_cfg.save_model_interval
     episodes_fn = jax.jit(
-        dqn.train_episodes,
-        static_argnums=(2, 3, 4, 5, 6, 7, 8), donate_argnums=(0,))
-    for i in range(25):   # warm dispatch path
-        agent, packed = episodes_fn(agent, jax.random.fold_in(key, 3000 + i),
-                                    env_cfg, model_cfg, train_cfg, chunk,
-                                    steps_per_episode, total_steps)
-    jax.block_until_ready(packed)
-    n_chunks = 40
+        dqn.train_episodes_snapshots,
+        static_argnums=(2, 3, 4, 5, 6, 7, 8, 9), donate_argnums=(0,))
+    for i in range(10):   # warm dispatch path
+        agent, packed, snaps = episodes_fn(
+            agent, jax.random.fold_in(key, 3000 + i), env_cfg, model_cfg,
+            train_cfg, chunk, steps_per_episode, total_steps, snap_every)
+        jax.device_get((packed, snaps))
+    n_chunks = 10
     t0 = time.perf_counter()
     for i in range(n_chunks):
-        agent, packed = episodes_fn(agent, jax.random.fold_in(key, 4000 + i),
-                                    env_cfg, model_cfg, train_cfg, chunk,
-                                    steps_per_episode, total_steps)
+        agent, packed, snaps = episodes_fn(
+            agent, jax.random.fold_in(key, 4000 + i), env_cfg, model_cfg,
+            train_cfg, chunk, steps_per_episode, total_steps, snap_every)
+        jax.device_get((packed, snaps))
     jax.block_until_ready(packed)
     prod_step_time = ((time.perf_counter() - t0)
                       / (n_chunks * chunk * steps_per_episode))

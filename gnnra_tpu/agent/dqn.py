@@ -348,6 +348,44 @@ def train_episodes(agent: AgentState, key: jax.Array, env_cfg: EnvConfig,
     return agent, packed
 
 
+def train_episodes_snapshots(agent: AgentState, key: jax.Array,
+                             env_cfg: EnvConfig, model_cfg: ModelConfig,
+                             train_cfg: TrainConfig, num_episodes: int,
+                             num_train_steps: int, total_env_steps: int,
+                             snapshot_every: int, num_envs: int = 1
+                             ) -> Tuple[AgentState, jax.Array, Tuple]:
+    """Chunked training with in-chunk checkpoint snapshots.
+
+    `train_episodes` bounds the dispatch chunk by the checkpoint cadence
+    (the reference saves both networks every `Save_Model_Interval=5`
+    episodes, BS_brain.py:791,853-869), which leaves the trainer dominated
+    by per-dispatch tunnel latency. This variant runs `num_episodes`
+    episodes as ONE device program while still emitting a
+    (params, target_params, env_step) snapshot after every
+    `snapshot_every`-th episode, so the host can write checkpoints at the
+    reference cadence from a single round trip. Snapshots are stacked
+    (leading dim G = num_episodes // snapshot_every); the model is tiny,
+    so the extra output is a few hundred KB per group.
+
+    num_episodes must be a multiple of snapshot_every.
+    Returns (agent', packed [C, S, D], snaps).
+    """
+    assert num_episodes % snapshot_every == 0, (num_episodes, snapshot_every)
+    num_groups = num_episodes // snapshot_every
+
+    def group(agent, k):
+        agent, packed = train_episodes(
+            agent, k, env_cfg, model_cfg, train_cfg, snapshot_every,
+            num_train_steps, total_env_steps, num_envs)
+        snap = (agent.params, agent.target_params, agent.env_step)
+        return agent, (packed, snap)
+
+    keys = jax.random.split(key, num_groups)
+    agent, (packed, snaps) = jax.lax.scan(group, agent, keys)
+    packed = packed.reshape((num_episodes,) + packed.shape[2:])
+    return agent, packed, snaps
+
+
 def unpack_episode_metrics(packed, n_nodes: int):
     """Host-side inverse of the train_episodes packing.
 

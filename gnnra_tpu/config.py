@@ -150,6 +150,12 @@ class TrainConfig:
     v2i_weight: float = 0.1
     v2v_rate_max: float = 1.0          # reward normalizer (BS_brain.py:428)
     save_model_interval: int = 5       # checkpoint every 5 episodes (BS_brain.py:791)
+    # Episodes per device dispatch. Checkpoint cadence stays
+    # save_model_interval: in-chunk weight snapshots are emitted by
+    # dqn.train_episodes_snapshots, so the chunk is bounded by host memory,
+    # not by the checkpoint interval. On a tunnel-attached runtime each
+    # dispatch costs ~1.5-3.5 ms regardless of payload.
+    episode_chunk: int = 50
     num_envs: int = 1                  # parallel vectorized environments (vmap axis)
     # Replay sampling: 'fast' draws uniform indices with replacement (device
     # friendly); 'faithful' samples without replacement like np.random.choice

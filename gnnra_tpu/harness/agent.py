@@ -65,6 +65,9 @@ class Agent:
         self._train_episodes = jax.jit(dqn.train_episodes,
                                        static_argnums=(2, 3, 4, 5, 6, 7, 8),
                                        donate_argnums=(0,))
+        self._train_episodes_snap = jax.jit(
+            dqn.train_episodes_snapshots,
+            static_argnums=(2, 3, 4, 5, 6, 7, 8, 9), donate_argnums=(0,))
         self._new_game = jax.jit(vehicular.new_random_game, static_argnums=1)
         self._test_episode = jax.jit(self._test_episode_impl,
                                      static_argnums=(3, 4, 5))
@@ -112,16 +115,31 @@ class Agent:
                   f"gamma={tc.gamma} v2i_weight={tc.v2i_weight}")
 
         # Chunk episodes per device dispatch: each host round trip costs
-        # ~10-20 ms regardless of payload, so C episodes run as one program
-        # and come back as ONE packed metrics array. Checkpoint cadence
-        # bounds the chunk size.
-        chunk = max(1, min(tc.save_model_interval, num_episodes))
+        # ~1.5-3.5 ms regardless of payload, so C episodes run as one
+        # program and come back as ONE packed metrics array. The chunk is
+        # NOT bounded by the checkpoint cadence: when it spans several
+        # save_model_interval periods, dqn.train_episodes_snapshots emits
+        # in-chunk (params, target, env_step) snapshots and the host writes
+        # the intermediate checkpoints from those (async), keeping the
+        # reference's every-5-episode cadence (BS_brain.py:791).
+        si = max(1, tc.save_model_interval)
+        chunk = max(si, (min(tc.episode_chunk, num_episodes) // si) * si)
+        ckpt_threads = []
         ep = 0
         while ep < num_episodes:
             c = min(chunk, num_episodes - ep)
-            self.state, packed = self._train_episodes(
-                self.state, self._next_key(), self.env_cfg, self.model_cfg,
-                tc, c, num_train_steps, total_env_steps, num_envs)
+            if c >= 2 * si and c % si == 0:
+                self.state, packed, snaps = self._train_episodes_snap(
+                    self.state, self._next_key(), self.env_cfg,
+                    self.model_cfg, tc, c, num_train_steps, total_env_steps,
+                    si, num_envs)
+            else:
+                c = min(si, num_episodes - ep)
+                self.state, packed = self._train_episodes(
+                    self.state, self._next_key(), self.env_cfg,
+                    self.model_cfg, tc, c, num_train_steps, total_env_steps,
+                    num_envs)
+                snaps = None
             metrics, rewards = dqn.unpack_episode_metrics(
                 np.asarray(jax.device_get(packed)), n)
             sl = slice(ep, ep + c)
@@ -134,10 +152,28 @@ class Agent:
                 metrics["orig_q_max_mean"].transpose(2, 0, 1)
             reward_per_episode[sl] = rewards.sum(axis=(1, 2))
             ep += c
-            if ep % tc.save_model_interval == 0 or ep == num_episodes:
+            if snaps is not None:
+                # Intermediate checkpoints (weights only, like the
+                # reference's .h5 saves) from the in-chunk snapshots; the
+                # chunk-final checkpoint carries optimizer state for exact
+                # resume and reflects self.state.
+                snap_p, snap_t, snap_step = snaps
+                groups = c // si
+                for g in range(groups - 1):
+                    episode_no = start_episode + ep - c + (g + 1) * si
+                    ckpt_threads.append(ckpt.save_async(
+                        ckpt.checkpoint_path(self.results_dir, episode_no),
+                        jax.tree.map(lambda x: x[g], snap_p),
+                        jax.tree.map(lambda x: x[g], snap_t),
+                        None, episode=episode_no,
+                        env_step=np.asarray(snap_step[g])))
+                self.save_checkpoint(start_episode + ep)
+            elif ep % si == 0 or ep == num_episodes:
                 self.save_checkpoint(start_episode + ep)
             if (ep // chunk) % max(1, log_interval // chunk) == 0:
                 self._log(f"episode {ep}/{num_episodes}")
+        for t in ckpt_threads:       # durability before returning
+            t.join()
 
         return {
             "train_loss": train_loss,

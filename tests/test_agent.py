@@ -223,6 +223,41 @@ class TestTrainEpisodes:
                                    metrics["loss_per_head"][0], rtol=1e-4,
                                    atol=1e-6)
 
+    def test_snapshot_chunks_match_sequential_groups(self):
+        # train_episodes_snapshots(C, every) must equal running
+        # train_episodes(every) per group with the same group keys, and
+        # each snapshot must equal that group's end-of-group weights.
+        cfg = TrainConfig(memory_capacity=256, batch_size=16,
+                          transitions_per_step=5)
+        agent = dqn.init_agent(jax.random.PRNGKey(0), MODEL_CFG, cfg)
+        agent, packed, snaps = dqn.train_episodes_snapshots(
+            agent, jax.random.PRNGKey(1), ENV_CFG, MODEL_CFG, cfg,
+            num_episodes=4, num_train_steps=2, total_env_steps=1000,
+            snapshot_every=2)
+        assert packed.shape[0] == 4
+        snap_p, snap_t, snap_step = snaps
+        assert jax.tree.leaves(snap_p)[0].shape[0] == 2
+
+        agent2 = dqn.init_agent(jax.random.PRNGKey(0), MODEL_CFG, cfg)
+        group_keys = jax.random.split(jax.random.PRNGKey(1), 2)
+        for g in range(2):
+            agent2, packed_g = dqn.train_episodes(
+                agent2, group_keys[g], ENV_CFG, MODEL_CFG, cfg,
+                num_episodes=2, num_train_steps=2, total_env_steps=1000)
+            np.testing.assert_allclose(
+                np.asarray(packed_g), np.asarray(packed[2 * g:2 * g + 2]),
+                rtol=1e-5, atol=1e-6)
+            for a, b in zip(jax.tree.leaves(agent2.params),
+                            jax.tree.leaves(jax.tree.map(
+                                lambda x: x[g], snap_p))):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-6, atol=1e-7)
+            assert int(snap_step[g]) == int(agent2.env_step)
+        for a, b in zip(jax.tree.leaves(agent2.params),
+                        jax.tree.leaves(agent.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
     def test_batched_episode(self):
         cfg = TrainConfig(memory_capacity=512, batch_size=16,
                           transitions_per_step=4)
