@@ -6,11 +6,9 @@ Primary metric: full DQN train steps/s — one step = 50 epsilon-greedy env
 transitions (rollout burst) + one batch-512 replay update + target-sync
 check, i.e. exactly the reference's per-train-step workload
 (BS_brain.py:758,818-847). Measured on the production training path
-(`dqn.train_episodes`: a multi-episode chunk — fresh env per episode +
-scanned train steps — as ONE device program, the architecture every
-training driver in this repo uses). The single-step-per-dispatch time is
-also reported on stderr; on a tunnel-attached runtime it is dominated by
-dispatch latency, which the episode-fused path amortizes away.
+(`dqn.train_episodes_snapshots`: a multi-episode chunk — fresh env per
+episode + scanned train steps + in-chunk checkpoint snapshots — as ONE
+device program, the architecture every training driver in this repo uses).
 
 vs_baseline: speedup over a "reference-architecture" proxy that performs the
 same workload the way the reference does — a host Python loop issuing one
@@ -19,30 +17,52 @@ trips, BS_brain.py:431-512) followed by a separate batched update — but with
 every piece individually jit-compiled. This is *generous* to the baseline:
 the actual reference adds Keras/TF1 per-call overhead and a Python-scalar
 channel simulator on top.
+
+Structure: each measurement section runs in its OWN subprocess with a fresh
+runtime. Round-1 post-mortem: on the tunnel-attached TPU runtime, running
+the eager (non-jit) `vehicular.new_random_game` op sequence before
+compiling/executing the big episode-fused program made the episode
+program's output transfer fail with `UNIMPLEMENTED: TPU backend error` —
+deterministically, across orderings and even after a full host round-trip
+of all buffers (so it is runtime-process state, not buffer state). Running
+the identical section alone, or with env creation jit-wrapped, works every
+time. Process isolation makes each section immune to the others' runtime
+state, lets the orchestrator retry a flaky section, and guarantees the
+headline JSON line is printed even if a secondary section dies.
 """
 
+import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
-import jax
+CACHE_DIR = "/root/.jax_cache"
+RESULT_TAG = "SECTION_RESULT "
 
 
+def _init_jax():
+    import jax
+    # Persistent compile cache: the episode-fused program takes minutes to
+    # compile cold; retries and later driver rounds hit the cache instead.
+    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
 
-def time_fn(fn, n_iters, *args):
-    fn(*args)  # warmup / compile
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n_iters
+
+def _emit(payload):
+    print(RESULT_TAG + json.dumps(payload), flush=True)
 
 
-def main():
-    from gnnra_tpu.agent import dqn, policy
+# ---------------------------------------------------------------------------
+# Section: production (headline) — episode-fused chunks
+# ---------------------------------------------------------------------------
+
+def section_production():
+    jax = _init_jax()
+    from gnnra_tpu.agent import dqn
     from gnnra_tpu.config import EnvConfig, ModelConfig, TrainConfig
-    from gnnra_tpu.env import features, vehicular
-    from gnnra_tpu.models import gnn_dqn
 
     env_cfg = EnvConfig()
     model_cfg = ModelConfig()
@@ -51,55 +71,39 @@ def main():
 
     key = jax.random.PRNGKey(0)
     agent = dqn.init_agent(key, model_cfg, train_cfg)
-    env_state = vehicular.new_random_game(jax.random.PRNGKey(1), env_cfg)
 
-    # --- fused TPU-native train step -------------------------------------
-    step = jax.jit(dqn.train_step, static_argnums=(3, 4, 5, 6),
-                   donate_argnums=(0, 1))
-
-    def run_step(agent, env_state, k):
-        a, e, _, m = step(agent, env_state, k, env_cfg, model_cfg, train_cfg,
-                          total_steps)
-        return a, e, m["loss"]
-
-    # warmup (compiles, fills replay, and warms the runtime dispatch path —
-    # the first ~20 dispatches can be an order of magnitude slower)
-    for i in range(25):
-        agent, env_state, loss = run_step(agent, env_state,
-                                          jax.random.fold_in(key, 1000 + i))
-    jax.block_until_ready(loss)
-    n_iters = 100
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        agent, env_state, loss = run_step(agent, env_state,
-                                          jax.random.fold_in(key, i))
-    jax.block_until_ready(loss)
-    fused_step_time = (time.perf_counter() - t0) / n_iters
-    fused_steps_per_s = 1.0 / fused_step_time
-
-    # --- production path: episode-fused chunks ---------------------------
     # One dispatch = `chunk` episodes x `steps_per_episode` train steps
-    # (fresh env per episode, scanned steps, packed metrics) — the
-    # architecture harness.Agent.train and the training scripts execute.
-    # The chunk is NOT bounded by the reference's every-5-episode
-    # checkpoint cadence (BS_brain.py:791): dqn.train_episodes_snapshots
-    # emits in-chunk (params, target, env_step) snapshots every 5 episodes
-    # and the host writes checkpoints from those. The timed loop includes
-    # pulling the packed metrics AND all snapshot weights to host, exactly
-    # like the harness. The agent is donated and carried call-to-call, so
-    # the timing chain is a serialized dependency chain (no dispatch
-    # elision, CLAUDE.md).
-    chunk, steps_per_episode = train_cfg.episode_chunk, \
-        train_cfg.num_train_steps
+    # (fresh env per episode, scanned steps, packed metrics, in-chunk
+    # (params, target, env_step) snapshots every `save_model_interval`
+    # episodes) — the architecture harness.Agent.train executes. The timed
+    # loop includes pulling the packed metrics AND all snapshot weights to
+    # host, exactly like the harness. The agent is donated and carried
+    # call-to-call, so the timing chain is a serialized dependency chain
+    # (no dispatch elision, CLAUDE.md).
+    chunk = train_cfg.episode_chunk
+    steps_per_episode = train_cfg.num_train_steps
     snap_every = train_cfg.save_model_interval
     episodes_fn = jax.jit(
         dqn.train_episodes_snapshots,
         static_argnums=(2, 3, 4, 5, 6, 7, 8, 9), donate_argnums=(0,))
-    for i in range(10):   # warm dispatch path
+
+    # Warm the dispatch path with >=20 cheap dispatches (CLAUDE.md: the
+    # first ~20 dispatches on the tunnel can be an order of magnitude
+    # slower; it is the per-dispatch cost that needs warming, so tiny
+    # programs do it without spending 20 x 5 s chunks).
+    tiny = jax.jit(lambda x: x * 2 + 1)
+    x = jax.numpy.ones((8,))
+    for _ in range(25):
+        x = tiny(x)
+    jax.block_until_ready(x)
+
+    # Warm the measured program itself (compile + steady-state memory plan).
+    for i in range(3):
         agent, packed, snaps = episodes_fn(
             agent, jax.random.fold_in(key, 3000 + i), env_cfg, model_cfg,
             train_cfg, chunk, steps_per_episode, total_steps, snap_every)
         jax.device_get((packed, snaps))
+
     n_chunks = 10
     t0 = time.perf_counter()
     for i in range(n_chunks):
@@ -108,11 +112,34 @@ def main():
             train_cfg, chunk, steps_per_episode, total_steps, snap_every)
         jax.device_get((packed, snaps))
     jax.block_until_ready(packed)
-    prod_step_time = ((time.perf_counter() - t0)
-                      / (n_chunks * chunk * steps_per_episode))
-    prod_steps_per_s = 1.0 / prod_step_time
+    dt = (time.perf_counter() - t0) / (n_chunks * chunk * steps_per_episode)
+    print(f"episode-fused (production): {dt*1e6:.1f} us/step "
+          f"({1.0/dt:.0f} steps/s)", file=sys.stderr)
+    _emit({"steps_per_s": 1.0 / dt})
 
-    # --- reference-architecture proxy ------------------------------------
+
+# ---------------------------------------------------------------------------
+# Section: proxy — reference-architecture host loop
+# ---------------------------------------------------------------------------
+
+def section_proxy():
+    jax = _init_jax()
+    from gnnra_tpu.agent import dqn, policy
+    from gnnra_tpu.config import EnvConfig, ModelConfig, TrainConfig
+    from gnnra_tpu.env import features, vehicular
+    from gnnra_tpu.models import gnn_dqn
+
+    env_cfg = EnvConfig()
+    model_cfg = ModelConfig()
+    train_cfg = TrainConfig(memory_capacity=100_000)
+
+    key = jax.random.PRNGKey(0)
+    agent = dqn.init_agent(key, model_cfg, train_cfg)
+    # jit-wrapped env creation (see module docstring: the eager op sequence
+    # destabilizes this runtime).
+    env_state = jax.jit(vehicular.new_random_game, static_argnums=1)(
+        jax.random.PRNGKey(1), env_cfg)
+
     # host loop: per transition one single-sample predict + one env step
     # (50 dispatches), then one batched replay update — the reference's
     # host<->device pattern (BS_brain.py:336,366-376,728) with jitted parts.
@@ -122,8 +149,7 @@ def main():
                               features.adjacency(s, env_cfg)))
     env_step = jax.jit(vehicular.act, static_argnums=3)
     upd = jax.jit(lambda ag, k: dqn.replay_update(ag, k, model_cfg,
-                                                  train_cfg),
-                  static_argnums=())
+                                                  train_cfg))
 
     def proxy_step(agent, env_state, k):
         for t in range(train_cfg.transitions_per_step):
@@ -136,7 +162,7 @@ def main():
         agent2, m = upd(agent, k)
         return agent2, env_state, m["loss"]
 
-    # warmup
+    # >=20 warm dispatches happen naturally: each proxy step issues 151.
     for i in range(3):
         _, env_state, l0 = proxy_step(agent, env_state,
                                       jax.random.fold_in(key, 2000 + i))
@@ -147,21 +173,63 @@ def main():
         _, env_state, l0 = proxy_step(agent, env_state,
                                       jax.random.fold_in(key, 100 + i))
     jax.block_until_ready(l0)
-    proxy_step_time = (time.perf_counter() - t0) / n_proxy
-    proxy_steps_per_s = 1.0 / proxy_step_time
+    dt = (time.perf_counter() - t0) / n_proxy
+    print(f"proxy host-loop: {dt*1e3:.2f} ms/step ({1.0/dt:.2f} steps/s)",
+          file=sys.stderr)
+    _emit({"steps_per_s": 1.0 / dt})
 
-    vs_baseline = prod_steps_per_s / proxy_steps_per_s
-    print(f"episode-fused (production): {prod_step_time*1e6:.1f} us/step "
-          f"({prod_steps_per_s:.0f} steps/s); single-step dispatch: "
-          f"{fused_step_time*1e3:.2f} ms/step "
-          f"({fused_steps_per_s:.2f} steps/s); proxy host-loop: "
-          f"{proxy_step_time*1e3:.2f} ms/step "
-          f"({proxy_steps_per_s:.2f} steps/s)", file=sys.stderr)
+
+SECTIONS = {"production": section_production, "proxy": section_proxy}
+
+
+# ---------------------------------------------------------------------------
+# Orchestrator
+# ---------------------------------------------------------------------------
+
+def run_section(name, timeout_s, attempts=2):
+    """Run a section subprocess; return its result dict or None."""
+    for attempt in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--section", name],
+                capture_output=True, text=True, timeout=timeout_s,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+        except subprocess.TimeoutExpired:
+            print(f"[bench] section {name} attempt {attempt+1}: timeout",
+                  file=sys.stderr)
+            continue
+        sys.stderr.write(proc.stderr[-2000:])
+        for line in reversed(proc.stdout.splitlines()):
+            if line.startswith(RESULT_TAG):
+                return json.loads(line[len(RESULT_TAG):])
+        print(f"[bench] section {name} attempt {attempt+1}: "
+              f"rc={proc.returncode}, no result line", file=sys.stderr)
+    return None
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--section", choices=sorted(SECTIONS))
+    args = parser.parse_args()
+    if args.section:
+        SECTIONS[args.section]()
+        return
+
+    # Proxy first: it is the cheap section, and a fast failure surfaces
+    # environment problems before the long production compile.
+    proxy = run_section("proxy", timeout_s=1200)
+    prod = run_section("production", timeout_s=2400)
+    if prod is None:
+        print("[bench] production section failed", file=sys.stderr)
+        sys.exit(1)
+    vs_baseline = (prod["steps_per_s"] / proxy["steps_per_s"]
+                   if proxy else None)
     print(json.dumps({
         "metric": "dqn_train_steps_per_s",
-        "value": round(prod_steps_per_s, 3),
+        "value": round(prod["steps_per_s"], 3),
         "unit": "steps/s",
-        "vs_baseline": round(vs_baseline, 3),
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
     }))
 
 
