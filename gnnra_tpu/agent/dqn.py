@@ -30,7 +30,7 @@ from flax import struct
 from gnnra_tpu.config import EnvConfig, ModelConfig, TrainConfig
 from gnnra_tpu.env import features, vehicular
 from gnnra_tpu.models import gnn_dqn
-from gnnra_tpu.ops import losses
+from gnnra_tpu.ops import losses, optim
 from gnnra_tpu.agent import policy, replay as replay_lib
 
 
@@ -45,6 +45,12 @@ class AgentState(struct.PyTreeNode):
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """Adam(1e-3, beta1=0.5) per the reference compile (BS_brain.py:212-214).
+    Default 'keras_adam' matches keras's exact update rule (ops/optim.py),
+    verified step-for-step against tests/golden/golden_model.npz."""
+    if cfg.optimizer == "keras_adam":
+        return optim.keras_adam(cfg.learning_rate, b1=cfg.adam_beta1,
+                                b2=cfg.adam_beta2, eps=cfg.adam_eps)
     return optax.adam(cfg.learning_rate, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
                       eps=cfg.adam_eps)
 
@@ -190,25 +196,37 @@ def compute_replay_grads(agent: AgentState, key: jax.Array,
     varying-axis autodiff then keeps them replicated without any manual
     gradient allreduce."""
     idx = replay_lib.sample_indices(agent.replay, key, batch_size, train_cfg)
-    node, edge, adj, action, reward, next_node, next_edge = \
-        replay_lib.gather(agent.replay, idx)
+    batch = replay_lib.gather(agent.replay, idx)
+    return grads_from_batch(agent.params, agent.target_params, batch,
+                            model_cfg, train_cfg, axis_name)
 
-    q_s = gnn_dqn.apply(agent.params, node, edge, adj, model_cfg)
+
+def grads_from_batch(params: Any, target_params: Any, batch,
+                     model_cfg: ModelConfig, train_cfg: TrainConfig,
+                     axis_name: str | None = None
+                     ) -> Tuple[Any, Dict[str, jax.Array]]:
+    """Loss gradients + metrics for one (S, A, R, S') batch (reference
+    BS_brain.py:664-748). Split out of `compute_replay_grads` so the
+    golden-parity test (tests/test_parity_golden.py) can drive an exact
+    batch through the same code path the trainer uses."""
+    node, edge, adj, action, reward, next_node, next_edge = batch
+
+    q_s = gnn_dqn.apply(params, node, edge, adj, model_cfg)
     # S' reuses S's adjacency (reference BS_brain.py:583).
-    q_sp = gnn_dqn.apply(agent.target_params, next_node, next_edge, adj,
+    q_sp = gnn_dqn.apply(target_params, next_node, next_edge, adj,
                          model_cfg)
     y = bellman_targets(q_s, q_sp, action, reward, train_cfg.gamma)
     y = jax.lax.stop_gradient(y)
 
-    def loss_fn(params):
-        q = gnn_dqn.apply(params, node, edge, adj, model_cfg)
+    def loss_fn(p):
+        q = gnn_dqn.apply(p, node, edge, adj, model_cfg)
         per_head = jnp.mean(losses.huber(y, q), axis=(0, 2))  # [N]
         if axis_name is not None:
             per_head = jax.lax.pmean(per_head, axis_name)
         return jnp.sum(per_head), per_head
 
     (loss, per_head_loss), grads = jax.value_and_grad(
-        loss_fn, has_aux=True)(agent.params)
+        loss_fn, has_aux=True)(params)
 
     n_actions = q_s.shape[-1]
     metrics = {

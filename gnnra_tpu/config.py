@@ -141,6 +141,10 @@ class TrainConfig:
     adam_beta1: float = 0.5            # Keras Adam(lr=0.001, beta_1=0.5) (BS_brain.py:212)
     adam_beta2: float = 0.999
     adam_eps: float = 1e-7             # Keras 2.2.4 default epsilon
+    # 'keras_adam' reproduces keras's exact update rule (eps on the raw
+    # sqrt(v), bias correction folded into alpha — see ops/optim.py);
+    # 'adam' is plain optax.adam. Default faithful to the reference.
+    optimizer: str = "keras_adam"
     memory_capacity: int = 1_000_000   # BS_brain.py:274
     target_update_every_env_steps: int = 500   # BS_brain.py:275
     max_epsilon: float = 1.0

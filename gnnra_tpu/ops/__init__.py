@@ -7,3 +7,4 @@ from gnnra_tpu.ops.gnn import (  # noqa: F401
     gnn_combine_shared,
 )
 from gnnra_tpu.ops.losses import dqn_loss, huber, huber_mean  # noqa: F401
+from gnnra_tpu.ops.optim import keras_adam  # noqa: F401
