@@ -379,11 +379,13 @@ def train_episodes_snapshots(agent: AgentState, key: jax.Array,
     episodes, BS_brain.py:791,853-869), which leaves the trainer dominated
     by per-dispatch tunnel latency. This variant runs `num_episodes`
     episodes as ONE device program while still emitting a
-    (params, target_params, env_step) snapshot after every
+    (params, target_params, opt_state, env_step) snapshot after every
     `snapshot_every`-th episode, so the host can write checkpoints at the
     reference cadence from a single round trip. Snapshots are stacked
     (leading dim G = num_episodes // snapshot_every); the model is tiny,
-    so the extra output is a few hundred KB per group.
+    so the extra output is a few hundred KB per group. Snapshots carry the
+    optimizer state so a crash between chunk-final saves still resumes
+    exactly (params + target + Adam moments + env_step).
 
     num_episodes must be a multiple of snapshot_every.
     Returns (agent', packed [C, S, D], snaps).
@@ -395,7 +397,8 @@ def train_episodes_snapshots(agent: AgentState, key: jax.Array,
         agent, packed = train_episodes(
             agent, k, env_cfg, model_cfg, train_cfg, snapshot_every,
             num_train_steps, total_env_steps, num_envs)
-        snap = (agent.params, agent.target_params, agent.env_step)
+        snap = (agent.params, agent.target_params, agent.opt_state,
+                agent.env_step)
         return agent, (packed, snap)
 
     keys = jax.random.split(key, num_groups)

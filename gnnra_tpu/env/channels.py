@@ -20,8 +20,6 @@ import jax.numpy as jnp
 
 from gnnra_tpu.config import EnvConfig
 
-_LOG10_E_INV = jnp.log(10.0)
-
 
 def v2v_pathloss(positions: jax.Array, cfg: EnvConfig) -> jax.Array:
     """Pairwise V2V pathloss matrix [N, N] in dB.

@@ -71,6 +71,8 @@ class Agent:
         self._new_game = jax.jit(vehicular.new_random_game, static_argnums=1)
         self._test_episode = jax.jit(self._test_episode_impl,
                                      static_argnums=(3, 4, 5))
+        self._eval_ckpts = jax.jit(self._eval_ckpts_impl,
+                                   static_argnums=(4,))
 
     # ------------------------------------------------------------------
     def _next_key(self) -> jax.Array:
@@ -88,11 +90,20 @@ class Agent:
               num_train_steps: Optional[int] = None,
               log_interval: int = 200,
               schedule_episodes: Optional[int] = None,
-              start_episode: int = 0) -> Dict[str, np.ndarray]:
+              start_episode: int = 0,
+              save_resume_state: bool = False) -> Dict[str, np.ndarray]:
         """Train for num_episodes. `schedule_episodes` pins the epsilon
         anneal horizon to a larger run when training in resumable segments
         (the agent's env_step counter carries across segments);
-        `start_episode` offsets checkpoint numbering for such segments."""
+        `start_episode` offsets checkpoint numbering for such segments.
+
+        `save_resume_state=True` additionally writes a rolling
+        resume-latest.npz at every chunk boundary containing the FULL agent
+        state including the replay ring, so `resume_latest` continues
+        bit-exactly (otherwise resume restores params/target/opt/env-step/
+        RNG but the replay ring restarts empty). Costs one replay-sized
+        device->host pull per chunk — enable for fault-tolerant production
+        runs (scripts/resilient_train.py does)."""
         tc = self.train_cfg
         num_episodes = num_episodes or tc.num_episodes
         num_train_steps = num_train_steps or tc.num_train_steps
@@ -126,54 +137,65 @@ class Agent:
         chunk = max(si, (min(tc.episode_chunk, num_episodes) // si) * si)
         ckpt_threads = []
         ep = 0
-        while ep < num_episodes:
-            c = min(chunk, num_episodes - ep)
-            if c >= 2 * si and c % si == 0:
-                self.state, packed, snaps = self._train_episodes_snap(
-                    self.state, self._next_key(), self.env_cfg,
-                    self.model_cfg, tc, c, num_train_steps, total_env_steps,
-                    si, num_envs)
-            else:
-                c = min(si, num_episodes - ep)
-                self.state, packed = self._train_episodes(
-                    self.state, self._next_key(), self.env_cfg,
-                    self.model_cfg, tc, c, num_train_steps, total_env_steps,
-                    num_envs)
-                snaps = None
-            metrics, rewards = dqn.unpack_episode_metrics(
-                np.asarray(jax.device_get(packed)), n)
-            sl = slice(ep, ep + c)
-            reward_per_step[sl] = rewards                        # [C, S, T]
-            train_loss[:, sl, :] = metrics["loss_per_head"].transpose(2, 0, 1)
-            q_mean[:, sl, :] = metrics["q_mean"].transpose(2, 0, 1)
-            q_max_mean[:, sl, :] = metrics["q_max_mean"].transpose(2, 0, 1)
-            orig_q_mean[:, sl, :] = metrics["orig_q_mean"].transpose(2, 0, 1)
-            orig_q_max_mean[:, sl, :] = \
-                metrics["orig_q_max_mean"].transpose(2, 0, 1)
-            reward_per_episode[sl] = rewards.sum(axis=(1, 2))
-            ep += c
-            if snaps is not None:
-                # Intermediate checkpoints (weights only, like the
-                # reference's .h5 saves) from the in-chunk snapshots; the
-                # chunk-final checkpoint carries optimizer state for exact
-                # resume and reflects self.state.
-                snap_p, snap_t, snap_step = snaps
-                groups = c // si
-                for g in range(groups - 1):
-                    episode_no = start_episode + ep - c + (g + 1) * si
-                    ckpt_threads.append(ckpt.save_async(
-                        ckpt.checkpoint_path(self.results_dir, episode_no),
-                        jax.tree.map(lambda x: x[g], snap_p),
-                        jax.tree.map(lambda x: x[g], snap_t),
-                        None, episode=episode_no,
-                        env_step=np.asarray(snap_step[g])))
-                self.save_checkpoint(start_episode + ep)
-            elif ep % si == 0 or ep == num_episodes:
-                self.save_checkpoint(start_episode + ep)
-            if (ep // chunk) % max(1, log_interval // chunk) == 0:
-                self._log(f"episode {ep}/{num_episodes}")
-        for t in ckpt_threads:       # durability before returning
-            t.join()
+        try:
+            while ep < num_episodes:
+                c = min(chunk, num_episodes - ep)
+                if c >= 2 * si and c % si == 0:
+                    self.state, packed, snaps = self._train_episodes_snap(
+                        self.state, self._next_key(), self.env_cfg,
+                        self.model_cfg, tc, c, num_train_steps,
+                        total_env_steps, si, num_envs)
+                else:
+                    c = min(si, num_episodes - ep)
+                    self.state, packed = self._train_episodes(
+                        self.state, self._next_key(), self.env_cfg,
+                        self.model_cfg, tc, c, num_train_steps,
+                        total_env_steps, num_envs)
+                    snaps = None
+                metrics, rewards = dqn.unpack_episode_metrics(
+                    np.asarray(jax.device_get(packed)), n)
+                sl = slice(ep, ep + c)
+                reward_per_step[sl] = rewards                    # [C, S, T]
+                train_loss[:, sl, :] = \
+                    metrics["loss_per_head"].transpose(2, 0, 1)
+                q_mean[:, sl, :] = metrics["q_mean"].transpose(2, 0, 1)
+                q_max_mean[:, sl, :] = metrics["q_max_mean"].transpose(2, 0, 1)
+                orig_q_mean[:, sl, :] = \
+                    metrics["orig_q_mean"].transpose(2, 0, 1)
+                orig_q_max_mean[:, sl, :] = \
+                    metrics["orig_q_max_mean"].transpose(2, 0, 1)
+                reward_per_episode[sl] = rewards.sum(axis=(1, 2))
+                ep += c
+                if snaps is not None:
+                    # Intermediate checkpoints from the in-chunk snapshots.
+                    # They carry the optimizer state too, so resume_latest
+                    # restores Adam moments exactly no matter which save the
+                    # process died after; the chunk-final checkpoint
+                    # reflects self.state.
+                    snap_p, snap_t, snap_opt, snap_step = snaps
+                    groups = c // si
+                    for g in range(groups - 1):
+                        episode_no = start_episode + ep - c + (g + 1) * si
+                        ckpt_threads.append(ckpt.save_async(
+                            ckpt.checkpoint_path(self.results_dir,
+                                                 episode_no),
+                            jax.tree.map(lambda x: x[g], snap_p),
+                            jax.tree.map(lambda x: x[g], snap_t),
+                            jax.tree.map(lambda x: x[g], snap_opt),
+                            episode=episode_no,
+                            env_step=np.asarray(snap_step[g])))
+                    self.save_checkpoint(start_episode + ep)
+                    if save_resume_state:
+                        self.save_resume_state(start_episode + ep)
+                elif ep % si == 0 or ep == num_episodes:
+                    self.save_checkpoint(start_episode + ep)
+                    if save_resume_state:
+                        self.save_resume_state(start_episode + ep)
+                if (ep // chunk) % max(1, log_interval // chunk) == 0:
+                    self._log(f"episode {ep}/{num_episodes}")
+        finally:
+            for t in ckpt_threads:   # durability before returning; join()
+                t.join()             # re-raises worker errors (disk full...)
 
         return {
             "train_loss": train_loss,
@@ -190,11 +212,15 @@ class Agent:
     # ------------------------------------------------------------------
     def save_checkpoint(self, episode: int):
         path = ckpt.checkpoint_path(self.results_dir, episode)
+        # rng_key makes resume EXACT: a resumed agent continues with the
+        # same key sequence the uninterrupted run would have used (the
+        # reference can only reload weights for evaluation — SURVEY.md §5).
         ckpt.save(path, self.state.params, self.state.target_params,
                   self.state.opt_state, episode=episode,
-                  env_step=np.asarray(self.state.env_step))
+                  env_step=np.asarray(self.state.env_step),
+                  rng_key=np.asarray(self.key))
 
-    def load_checkpoint(self, episode: int):
+    def load_checkpoint(self, episode: int, restore_rng: bool = False):
         path = ckpt.checkpoint_path(self.results_dir, episode)
         params, target, opt, scalars = ckpt.load(
             path, self.state.params, self.state.target_params,
@@ -205,6 +231,37 @@ class Agent:
         if "env_step" in scalars:
             self.state = self.state.replace(
                 env_step=jnp.asarray(scalars["env_step"], jnp.int32))
+        if restore_rng and "rng_key" in scalars:
+            self.key = jnp.asarray(scalars["rng_key"], jnp.uint32)
+
+    def resume_state_path(self) -> str:
+        return os.path.join(self.results_dir, "resume-latest.npz")
+
+    def save_resume_state(self, episode: int):
+        """Rolling full-state save (params + target + optimizer + replay
+        ring + env_step + RNG position) for bit-exact crash resume."""
+        ckpt.save_state(self.resume_state_path(), self.state,
+                        episode=episode, rng_key=np.asarray(self.key))
+
+    def resume_state_episode(self) -> Optional[int]:
+        """Episode recorded in resume-latest.npz, without loading it."""
+        path = self.resume_state_path()
+        if not os.path.exists(path):
+            return None
+        with np.load(path, allow_pickle=False) as data:
+            return int(data["scalar:episode"])
+
+    def load_resume_state(self) -> Optional[int]:
+        """Restore the full agent state from resume-latest.npz if present.
+        Returns its episode number, or None."""
+        path = self.resume_state_path()
+        if not os.path.exists(path):
+            return None
+        state, scalars = ckpt.load_state(path, self.state)
+        self.state = state
+        if "rng_key" in scalars:
+            self.key = jnp.asarray(scalars["rng_key"], jnp.uint32)
+        return int(scalars["episode"])
 
     def latest_checkpoint_episode(self) -> Optional[int]:
         """Newest saved checkpoint episode, or None."""
@@ -219,16 +276,29 @@ class Agent:
         return max(episodes) if episodes else None
 
     def resume_latest(self) -> int:
-        """Failure recovery: restore params + target + optimizer state +
-        env-step counter from the newest checkpoint (the reference can only
-        reload weights for evaluation — SURVEY.md §5). Returns the episode
-        to continue from (0 if no checkpoint exists)."""
-        episode = self.latest_checkpoint_episode()
-        if episode is None:
+        """Failure recovery. Prefers resume-latest.npz (FULL state incl.
+        the replay ring — continuation is then bit-exact vs the
+        uninterrupted run, tests/test_harness.py::TestCrashResume);
+        otherwise restores params + target + optimizer state + env-step
+        counter + host RNG position from the newest checkpoint (replay
+        restarts empty). The reference can only reload weights for
+        evaluation — SURVEY.md §5. Returns the episode to continue from
+        (0 if nothing saved)."""
+        ckpt_episode = self.latest_checkpoint_episode()
+        try:
+            resume_episode = self.resume_state_episode()
+            if resume_episode is not None and (
+                    ckpt_episode is None or resume_episode >= ckpt_episode):
+                self.load_resume_state()
+                self._log(f"resumed full state at episode {resume_episode}")
+                return resume_episode
+        except (KeyError, ValueError):   # stale/incompatible resume file
+            pass
+        if ckpt_episode is None:
             return 0
-        self.load_checkpoint(episode)
-        self._log(f"resumed from checkpoint at episode {episode}")
-        return episode
+        self.load_checkpoint(ckpt_episode, restore_rng=True)
+        self._log(f"resumed from checkpoint at episode {ckpt_episode}")
+        return ckpt_episode
 
     # ------------------------------------------------------------------
     # Testing (reference Agent.test_run, BS_brain.py:986-1162)
@@ -326,14 +396,49 @@ class Agent:
     # Checkpoint-history evaluation (reference
     # Agent.evaluate_training_diff_trials, BS_brain.py:1164-1451)
     # ------------------------------------------------------------------
+    def _eval_ckpts_impl(self, params_stacked, env_state, key,
+                         fixed_epsilon, num_steps: int):
+        """Evaluate a [K, ...]-stacked bank of checkpoint weights on the SAME
+        environment realization and key — one device program for K whole
+        episodes (the reference reseeds the same per-trial seed before every
+        checkpoint, BS_brain.py:1262-1266, so only the weights differ).
+        Returns (return [K], ra_return [K])."""
+        def one(params):
+            traj = self._test_episode_impl(params, env_state, key, False,
+                                           fixed_epsilon, num_steps)
+            return traj["reward"].sum(), traj["ra_reward"].sum()
+
+        return jax.vmap(one)(params_stacked)
+
+    def load_checkpoint_history(self, num_episodes: int, interval: int):
+        """Load every checkpoint's online params once and stack them into a
+        single [K, ...] device pytree (the weights are tiny; the reference
+        reloads each .h5 once per trial x checkpoint — BS_brain.py:1244-1256
+        — which at its scale is 20,000 host I/O round trips)."""
+        params_list = []
+        for ci in range(num_episodes // interval):
+            path = ckpt.checkpoint_path(self.results_dir,
+                                        (ci + 1) * interval)
+            params, _, _, _ = ckpt.load(path, self.state.params,
+                                        self.state.target_params)
+            params_list.append(params)
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+
     def evaluate_training_diff_trials(
             self, num_episodes: Optional[int] = None,
             num_test_steps: Optional[int] = None, opt_flag: bool = False,
             fixed_epsilon: Optional[float] = None,
-            num_trials: Optional[int] = None) -> Dict[str, np.ndarray]:
+            num_trials: Optional[int] = None,
+            ckpt_chunk: int = 256) -> Dict[str, np.ndarray]:
         """For each trial and each saved checkpoint (every
         `evaluation_episode_interval` training episodes), run one
         fixed-epsilon episode vs the RA baseline with a per-trial seed.
+
+        The checkpoint history is loaded from disk ONCE, stacked on device,
+        and each trial evaluates `ckpt_chunk` checkpoints per dispatch via
+        vmap — versus the reference's one .h5 load + one predict-per-step
+        host loop per (trial, checkpoint) (BS_brain.py:1220-1451).
+
         Returns per-(trial, checkpoint) return matrices."""
         ev = self.eval_cfg
         interval = ev.evaluation_episode_interval
@@ -344,30 +449,30 @@ class Agent:
         num_trials = num_trials or ev.num_trials
         num_test_steps = num_test_steps or ev.num_test_steps
 
+        history = self.load_checkpoint_history(num_episodes, interval)
         ret = np.zeros((num_trials, num_ckpts))
         ra_ret = np.zeros((num_trials, num_ckpts))
         opt_ret = np.zeros(num_trials)
 
         for trial in range(num_trials):
             self._log(f"evaluate trial {trial + 1}/{num_trials}")
-            for ci in range(num_ckpts):
-                episode = (ci + 1) * interval
-                self.load_checkpoint(episode)
-                # the reference reseeds with the SAME per-trial seed before
-                # every checkpoint (BS_brain.py:1262-1266), so every
-                # checkpoint within a trial is scored on identical
-                # environment realizations — only the weights differ
-                key = jax.random.PRNGKey(trial + 1)
-                k_game, k_ep = jax.random.split(key)
-                env_state = self._new_game(k_game, self.env_cfg)
-                traj = self._test_episode(self.state.params, env_state, k_ep,
-                                          opt_flag and ci == 0, fixed_epsilon,
-                                          num_test_steps)
-                traj = jax.tree.map(np.asarray, traj)
-                ret[trial, ci] = traj["reward"].sum()
-                ra_ret[trial, ci] = traj["ra_reward"].sum()
-                if ci == 0 and "opt_reward" in traj:
-                    opt_ret[trial] = traj["opt_reward"].sum()
+            key = jax.random.PRNGKey(trial + 1)
+            k_game, k_ep = jax.random.split(key)
+            env_state = self._new_game(k_game, self.env_cfg)
+            for lo in range(0, num_ckpts, ckpt_chunk):
+                hi = min(lo + ckpt_chunk, num_ckpts)
+                bank = jax.tree.map(lambda x: x[lo:hi], history)
+                r, ra = self._eval_ckpts(bank, env_state, k_ep,
+                                         fixed_epsilon, num_test_steps)
+                ret[trial, lo:hi] = np.asarray(r)
+                ra_ret[trial, lo:hi] = np.asarray(ra)
+            if opt_flag:
+                # Brute-force optimal ground truth once per trial on the
+                # first checkpoint's episode (BS_brain.py:1284-1326).
+                first = jax.tree.map(lambda x: x[0], history)
+                traj = self._test_episode(first, env_state, k_ep, True,
+                                          fixed_epsilon, num_test_steps)
+                opt_ret[trial] = float(np.asarray(traj["opt_reward"]).sum())
 
         return {"evaluation_return_per_episode": ret,
                 "ra_expect_return": ra_ret,

@@ -68,21 +68,64 @@ def save(path: str, params: Any, target_params: Any,
     os.replace(tmp, path)           # atomic: no torn checkpoints on crash
 
 
+class _SaveWorker:
+    """Thread wrapper whose join() re-raises the worker's exception —
+    Thread.join() alone swallows failures (e.g. disk full), letting a
+    trainer report success with missing checkpoints."""
+
+    def __init__(self, fn, args, kwargs):
+        import threading
+
+        self._exc: Optional[BaseException] = None
+
+        def run():
+            try:
+                fn(*args, **kwargs)
+            except BaseException as e:      # noqa: BLE001 — re-raised on join
+                self._exc = e
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def join(self, timeout: Optional[float] = None) -> None:
+        self._thread.join(timeout)
+        if self._exc is not None:
+            raise self._exc
+
+
 def save_async(path: str, params: Any, target_params: Any,
-               opt_state: Optional[Any] = None, **scalars):
+               opt_state: Optional[Any] = None, **scalars) -> _SaveWorker:
     """Asynchronous checkpoint: device->host pulls happen eagerly (so the
     training step can donate/overwrite device buffers), serialization runs
-    on a worker thread. Returns the Thread; join() to ensure durability."""
-    import threading
-
+    on a worker thread. Returns a worker; join() re-raises worker errors."""
     host_params = jax.device_get(params)
     host_target = jax.device_get(target_params)
     host_opt = jax.device_get(opt_state) if opt_state is not None else None
-    t = threading.Thread(
-        target=save, args=(path, host_params, host_target, host_opt),
-        kwargs=scalars, daemon=True)
-    t.start()
-    return t
+    return _SaveWorker(save, (path, host_params, host_target, host_opt),
+                       scalars)
+
+
+def save_state(path: str, state: Any, **scalars) -> None:
+    """Atomically save an arbitrary pytree (e.g. a full AgentState including
+    the replay ring) — the exact-resume companion to `save`, which keeps the
+    small per-episode checkpoints free of the multi-MB replay buffers."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    flat = _flatten(state, "state")
+    for k, v in scalars.items():
+        flat["scalar:" + k] = np.asarray(v)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
+
+
+def load_state(path: str, template: Any) -> Tuple[Any, Dict[str, np.ndarray]]:
+    """Restore a pytree saved by `save_state`. Returns (state, scalars)."""
+    with np.load(path, allow_pickle=False) as data:
+        flat = {k: data[k] for k in data.files}
+    state = _unflatten(template, flat, "state")
+    scalars = {k[len("scalar:"):]: flat[k] for k in flat
+               if k.startswith("scalar:")}
+    return state, scalars
 
 
 def load(path: str, params_template: Any, target_template: Any,

@@ -18,9 +18,14 @@ def enable_nan_checks(enable: bool = True) -> None:
     jax.config.update("jax_debug_nans", enable)
 
 
-def enable_deterministic_reductions(enable: bool = True) -> None:
-    """Bitwise-deterministic XLA reductions/collectives for distributed
-    reproducibility tests."""
+def enable_highest_matmul_precision(enable: bool = True) -> None:
+    """Force highest-precision matmul accumulation (no bf16 fast paths).
+
+    This improves run-to-run numeric stability of matmul-heavy programs but
+    does NOT make XLA reductions/collectives bitwise-deterministic — XLA on
+    TPU compiles a fixed reduction tree per program shape, so determinism
+    within one compiled program already holds; there is no global
+    "deterministic reductions" switch to flip."""
     jax.config.update("jax_default_matmul_precision",
                       "highest" if enable else None)
 

@@ -48,7 +48,8 @@ def run_segment(total: int, segment: int) -> int:
         print(f"segment: episodes {done} -> {done + todo}", flush=True)
         t0 = time.time()
         results = agent.train(num_episodes=todo, log_interval=100,
-                              schedule_episodes=total, start_episode=done)
+                              schedule_episodes=total, start_episode=done,
+                              save_resume_state=True)
         dt = time.time() - t0
         print(f"segment done in {dt:.1f}s ({dt / todo * 1e3:.0f} ms/episode)",
               flush=True)

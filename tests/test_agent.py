@@ -235,7 +235,7 @@ class TestTrainEpisodes:
             num_episodes=4, num_train_steps=2, total_env_steps=1000,
             snapshot_every=2)
         assert packed.shape[0] == 4
-        snap_p, snap_t, snap_step = snaps
+        snap_p, snap_t, snap_opt, snap_step = snaps
         assert jax.tree.leaves(snap_p)[0].shape[0] == 2
 
         agent2 = dqn.init_agent(jax.random.PRNGKey(0), MODEL_CFG, cfg)
@@ -250,6 +250,12 @@ class TestTrainEpisodes:
             for a, b in zip(jax.tree.leaves(agent2.params),
                             jax.tree.leaves(jax.tree.map(
                                 lambda x: x[g], snap_p))):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-6, atol=1e-7)
+            # snapshots carry optimizer state for exact crash resume
+            for a, b in zip(jax.tree.leaves(agent2.opt_state),
+                            jax.tree.leaves(jax.tree.map(
+                                lambda x: x[g], snap_opt))):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                            rtol=1e-6, atol=1e-7)
             assert int(snap_step[g]) == int(agent2.env_step)

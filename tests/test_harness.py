@@ -132,6 +132,85 @@ class TestEvaluate:
                                    r2["evaluation_return_per_episode"])
 
 
+class TestCrashResume:
+    """Crash-injection recovery (SURVEY.md §5 failure detection/recovery).
+
+    The Agent object holds ALL trainer state (params, target, optimizer
+    moments, env-step counter, host RNG position), so constructing a fresh
+    Agent over the same results dir is exactly what a crashed-and-restarted
+    worker process does (scripts/resilient_train.py:38-39)."""
+
+    def _cfg(self, chunk):
+        return dataclasses.replace(
+            tiny_cfg(), train=TrainConfig(
+                num_episodes=4, num_train_steps=2, transitions_per_step=10,
+                batch_size=16, memory_capacity=512, save_model_interval=2,
+                target_update_every_env_steps=20, episode_chunk=chunk))
+
+    def test_resume_reproduces_uninterrupted_run(self, tmp_path):
+        """Kill after episode 2 of 4; the resumed run must produce exactly
+        the same final state and metrics as the uninterrupted run."""
+        cfg = self._cfg(chunk=2)   # chunk-final checkpoints at 2 and 4
+
+        full = Agent(cfg, results_base=str(tmp_path / "full"))
+        full_results = full.train(schedule_episodes=4)
+
+        crashed = Agent(cfg, results_base=str(tmp_path / "crashed"))
+        crashed.train(num_episodes=2, schedule_episodes=4,
+                      save_resume_state=True)
+        del crashed  # simulated crash: worker process dies after episode 2
+
+        resumed = Agent(cfg, results_base=str(tmp_path / "crashed"))
+        start = resumed.resume_latest()
+        assert start == 2
+        assert int(resumed.state.env_step) == 2 * 2 * 10  # ep*steps*trans
+        resumed_results = resumed.train(num_episodes=2, schedule_episodes=4,
+                                        start_episode=2)
+
+        import jax
+        for a, b in zip(jax.tree.leaves(full.state.params),
+                        jax.tree.leaves(resumed.state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(full.state.opt_state),
+                        jax.tree.leaves(resumed.state.opt_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(full.state.env_step) == int(resumed.state.env_step)
+        np.testing.assert_array_equal(
+            full_results["train_loss"][:, 2:, :],
+            resumed_results["train_loss"])
+        np.testing.assert_array_equal(
+            full_results["reward_per_episode"][2:],
+            resumed_results["reward_per_episode"])
+
+    def test_resume_from_inchunk_snapshot_restores_opt_state(self, tmp_path):
+        """Crash after an in-chunk snapshot checkpoint landed but before the
+        chunk-final save: resume must restore the snapshot's optimizer
+        moments, not silently reset Adam (round-1 advisor finding)."""
+        import os
+
+        import jax
+
+        from gnnra_tpu.utils import checkpoint as ckpt
+
+        cfg = self._cfg(chunk=4)   # one 4-episode chunk, snapshot at 2
+        agent = Agent(cfg, results_base=str(tmp_path))
+        agent.train()
+        # simulate dying before the chunk-final save landed
+        os.remove(ckpt.checkpoint_path(agent.results_dir, 4))
+
+        resumed = Agent(cfg, results_base=str(tmp_path))
+        fresh_opt = jax.tree.map(np.asarray,
+                                 jax.tree.leaves(resumed.state.opt_state))
+        assert resumed.resume_latest() == 2
+        assert int(resumed.state.env_step) == 2 * 2 * 10
+        restored = jax.tree.map(np.asarray,
+                                jax.tree.leaves(resumed.state.opt_state))
+        # Adam moments must be the trained ones, not the fresh zeros
+        changed = any(not np.array_equal(a, b)
+                      for a, b in zip(fresh_opt, restored))
+        assert changed, "optimizer state silently reset on resume"
+
+
 class TestLearningSanity:
     def test_rl_beats_random_after_training(self, tmp_path):
         """The reference's de-facto acceptance criterion: trained greedy
