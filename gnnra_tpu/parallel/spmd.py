@@ -97,6 +97,47 @@ def shard_train_state(agent: dqn.AgentState, env_states: vehicular.EnvState,
     return agent, env_sharded
 
 
+def shard_train_state_ep(agent: dqn.AgentState,
+                         env_states: vehicular.EnvState, mesh: Mesh,
+                         data_axis: str = "data",
+                         expert_axis: str = "expert"
+                         ) -> Tuple[dqn.AgentState, vehicular.EnvState]:
+    """device_put the state for expert-parallel TRAINING: the per-node
+    weight stacks (and their Adam moments) sharded over `expert_axis`,
+    replay + envs DP-sharded over `data_axis`. The same
+    `make_spmd_train_step` then runs the full rollout + replay-update +
+    target-sync step with XLA-inserted collectives; gradients of the
+    node-stacked einsums are themselves node-stacked, so grads and Adam
+    moments never leave their expert shard."""
+    e_specs = expert_param_specs(agent.params, expert_axis)
+
+    def put(tree, specs):
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            tree, specs)
+
+    params = put(agent.params, e_specs)
+    target = put(agent.target_params, e_specs)
+    # Adam moments mirror the param stacks leaf-for-leaf; scalars (step
+    # count) replicate.
+    opt_state = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(
+            mesh, P(*([expert_axis] + [None] * (x.ndim - 1)))
+            if x.ndim >= 2 else P())),
+        agent.opt_state)
+    rep = jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P(data_axis) if x.ndim >= 1 else P())),
+        agent.replay)
+    env_sharded = jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P(data_axis) if x.ndim >= 1 else P())),
+        env_states)
+    agent = agent.replace(params=params, target_params=target,
+                          opt_state=opt_state, replay=rep)
+    return agent, env_sharded
+
+
 def make_spmd_train_step(env_cfg: EnvConfig, model_cfg: ModelConfig,
                          train_cfg: TrainConfig, total_env_steps: int):
     """Jitted (agent, env_states [E, ...], key) -> (agent', env_states',

@@ -35,6 +35,23 @@ def test_ring_spmm_matches_oracle():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_ring_spmm_pallas_kernel_matches_oracle():
+    """The composed ring + Pallas path (what real multi-chip runs): the
+    shard_map ring with the Pallas segment-reduce kernel in interpret mode
+    (Pallas-TPU semantics executed on CPU) against the segment-sum oracle."""
+    n, e, f = 600, 4000, 16
+    g = graph_lib.random_graph(jax.random.PRNGKey(5), n, e)
+    m = mesh_lib.make_mesh()
+    part = graph_parallel.partition_for_ring(g, num_devices=8, r_block=128)
+    n_pad = part.num_devices * part.nodes_per_device
+    op = graph_parallel.make_ring_spmm(m, part, f, impl="pallas_interpret")
+    h = jax.random.normal(jax.random.PRNGKey(6), (n, f))
+    h_pad = jnp.zeros((n_pad, f)).at[:n].set(h)
+    got = np.asarray(op(h_pad))[:n]
+    want = np.asarray(spmm.spmm_coo(h, g))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_ring_partition_preserves_all_edges():
     g = graph_lib.random_graph(jax.random.PRNGKey(4), 300, 2000)
     part = graph_parallel.partition_for_ring(g, num_devices=4, r_block=64)
