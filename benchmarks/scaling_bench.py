@@ -24,18 +24,21 @@ import jax.numpy as jnp
 
 
 def bench_chain(op, h, iters=10):
+    """Serialized-chain timing with forced execution (the runtime can elide
+    dispatches whose results are never transferred — see
+    benchmarks/spmm_bench.py::bench for the full discipline)."""
     @jax.jit
     def loop(h):
         def body(_, h):
             out = op(h)
-            return h.at[0, 0].add(out.ravel()[0] * 1e-30)
+            return h.at[0, 0].add(out.ravel()[0] * 1e-3)
         return jax.lax.fori_loop(0, iters, body, h)
 
-    out = loop(h)
-    jax.block_until_ready(out)
+    h = loop(h)
+    float(h.ravel()[0])                  # compile + warm + force
     t0 = time.perf_counter()
-    out = loop(h)
-    jax.block_until_ready(out)
+    h = loop(h)
+    float(h.ravel()[0])                  # scalar pull forces the chain
     return (time.perf_counter() - t0) / iters
 
 

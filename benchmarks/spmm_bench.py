@@ -22,28 +22,42 @@ import jax
 import jax.numpy as jnp
 
 
-def bench(op, h, iters=20):
-    """Time `op(h)` serialized `iters` times inside ONE jitted fori_loop.
+def bench(op, h, iters=20, data=()):
+    """Time `op(h, *data)` serialized `iters` times inside ONE jitted
+    fori_loop.
 
     Each iteration's input depends on the previous output through a single
     element, so executions cannot be elided, overlapped, or deduplicated by
     the runtime (repeated identical dispatches measured impossibly fast on
     the remote TPU runtime), while the chain itself adds only a one-element
     update. op's output may have any shape; only out.ravel()[0] feeds back.
+
+    Large graph layouts go in `data` so they enter the program as runtime
+    PARAMETERS — closing over them embeds hundreds of MB of constants in
+    the HLO, which remote-compile transports reject (HTTP 413).
+
+    Execution is forced by pulling ONE scalar of the result to host —
+    on this remote runtime `block_until_ready` alone can return in ~0.1 ms
+    with the program never actually executing (observed: 300+ "Gedges/s"
+    from a 10M-edge SpMM), regardless of whether the input buffer or its
+    contents differ call-to-call. A device->host transfer of a value that
+    depends on the whole serialized chain cannot be faked. The timed call
+    also takes the warm-up call's output as its input (fresh buffer, fresh
+    contents) so no dispatch-level cache can key-match it.
     """
 
     @jax.jit
-    def loop(h):
+    def loop(h, *data):
         def body(_, h):
-            out = op(h)
-            return h.at[0, 0].add(out.ravel()[0] * 1e-30)
+            out = op(h, *data)
+            return h.at[0, 0].add(out.ravel()[0] * 1e-3)
         return jax.lax.fori_loop(0, iters, body, h)
 
-    out = loop(h)
-    jax.block_until_ready(out)           # compile + warm
+    h = loop(h, *data)
+    float(h.ravel()[0])                  # compile + warm + force
     t0 = time.perf_counter()
-    out = loop(h)
-    jax.block_until_ready(out)
+    h = loop(h, *data)
+    float(h.ravel()[0])                  # scalar pull forces the chain
     return (time.perf_counter() - t0) / iters
 
 
@@ -62,6 +76,11 @@ def main(argv=None):
     parser.add_argument("--edges", type=int, default=1_000_000)
     parser.add_argument("--dim", type=int, default=128)
     parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--two-level-chunks", type=int, default=0,
+                        help="also bench the sender-chunked two-level "
+                        "layout with this many chunks (config-5 large-"
+                        "table gather fix); 0 = skip")
+    parser.add_argument("--r-block", type=int, default=128)
     parser.add_argument("--skip-xla-baseline", action="store_true",
                         help="skip the XLA segment-sum baselines (they are "
                         "O(10x) slower than the kernels; at 10M+ edges they "
@@ -74,8 +93,8 @@ def main(argv=None):
     n, e, f = args.nodes, args.edges, args.dim
     g = graph_lib.random_graph_host(0, n, e)
     t0 = time.time()
-    fwd_b = graph_lib.block_by_receiver(g, r_block=128)
-    bwd_b = graph_lib.block_by_receiver(g.transpose(), r_block=128)
+    fwd_b = graph_lib.block_by_receiver(g, r_block=args.r_block)
+    bwd_b = graph_lib.block_by_receiver(g.transpose(), r_block=args.r_block)
     print(f"# preprocess {time.time() - t0:.2f}s; blocks={fwd_b.num_blocks} "
           f"e_block={fwd_b.e_block} pad_overhead="
           f"{fwd_b.num_blocks * fwd_b.e_block / e - 1:.2%}")
@@ -124,6 +143,31 @@ def main(argv=None):
     t_p16 = bench(lambda h: spmm.spmm_blocked(h, fwd_b, impl="pallas"), h16,
                   iters=args.iters)
     report("spmm_fwd_pallas_bf16", e, t_p16, baseline_seconds=t_p)
+
+    if args.two_level_chunks > 0:
+        c = args.two_level_chunks
+        t0 = time.time()
+        tl_f = graph_lib.block_two_level(g, r_block=args.r_block,
+                                         num_chunks=c)
+        tl_b = graph_lib.block_two_level(g.transpose(),
+                                         r_block=args.r_block, num_chunks=c)
+        pad = tl_f.num_blocks * tl_f.num_chunks * tl_f.e_cell / e - 1
+        print(f"# two-level preprocess {time.time() - t0:.2f}s; "
+              f"chunks={c} e_cell={tl_f.e_cell} pad_overhead={pad:.2%}",
+              flush=True)
+        t_tl = bench(lambda h, tl: spmm.spmm_blocked(h, tl, impl="pallas"),
+                     h, iters=args.iters, data=(tl_f,))
+        report(f"spmm_fwd_pallas_2lvl_c{c}", e, t_tl, baseline_seconds=t_p)
+        spmm_call = spmm.make_spmm_call(impl="pallas")
+        tl_fb = jax.grad(lambda h, f_, b_: jnp.sum(spmm_call(h, f_, b_) * h),
+                         argnums=0)
+        t_tlg = bench(tl_fb, h, iters=args.iters, data=(tl_f, tl_b))
+        report(f"spmm_fwdbwd_pallas_2lvl_c{c}", e, t_tlg,
+               baseline_seconds=t_pg)
+        t_tl16 = bench(lambda h, tl: spmm.spmm_blocked(h, tl, impl="pallas"),
+                       h16, iters=args.iters, data=(tl_f,))
+        report(f"spmm_fwd_pallas_2lvl_c{c}_bf16", e, t_tl16,
+               baseline_seconds=t_p)
 
     if jax.device_count() > 1:
         from gnnra_tpu.parallel import graph_parallel, mesh as mesh_lib

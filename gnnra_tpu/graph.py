@@ -187,6 +187,188 @@ def block_by_receiver(graph: COOGraph, r_block: int = 128,
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class TwoLevelBlockedGraph:
+    """Receiver-blocked AND sender-chunked edge layout.
+
+    Single-level blocking gathers `h[senders]` from the full [N, F] table;
+    at BASELINE config-5 scale (1M nodes, 512 MB f32 table) that random
+    gather runs ~3x slower per edge than from a <=100 MB table (measured,
+    docs/RESULTS.md). Here each receiver block's edge slots are segmented
+    by sender chunk (C chunks of `chunk_size` nodes): the gather becomes C
+    static-sliced gathers, each reading only a [chunk_size, F] table slice
+    that stays DRAM-page/TLB-local, while the one-hot segment reduction
+    still sees one contiguous [B, C*E_CELL] slot axis — a single MXU matmul
+    per block, exactly as before. Cost: per-(block, chunk) uniform padding
+    (E_CELL = max cell occupancy) instead of per-block.
+    """
+
+    senders: jax.Array      # [C, B, E_CELL] int32, CHUNK-LOCAL (pad -> 0)
+    recv_local: jax.Array   # [B, C*E_CELL] int32 (chunk-major slot order)
+    weights: jax.Array      # [B, C*E_CELL] f32 (pad -> 0)
+    edge_ids: jax.Array     # [B, C*E_CELL] int32 (pad -> num_edges)
+    num_nodes: int = dataclasses.field(metadata=dict(static=True))
+    num_nodes_padded: int = dataclasses.field(metadata=dict(static=True))
+    r_block: int = dataclasses.field(metadata=dict(static=True))
+    num_edges: int = dataclasses.field(metadata=dict(static=True))
+    chunk_size: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_chunks(self) -> int:
+        return int(self.senders.shape[0])
+
+    @property
+    def num_blocks(self) -> int:
+        return int(self.senders.shape[1])
+
+    @property
+    def e_cell(self) -> int:
+        return int(self.senders.shape[2])
+
+
+def block_two_level(graph: COOGraph, r_block: int = 128,
+                    num_chunks: int = 8,
+                    e_cell_multiple: int = 8) -> TwoLevelBlockedGraph:
+    """Host-side O(E) preprocessing into the two-level layout."""
+    senders = np.asarray(graph.senders)
+    receivers = np.asarray(graph.receivers)
+    weights = np.asarray(graph.weights)
+    n = graph.num_nodes
+    e = senders.shape[0]
+    num_blocks = max(1, -(-n // r_block))
+    n_padded = num_blocks * r_block
+    chunk_size = -(-n // num_chunks)
+    c = num_chunks
+
+    block_ids = receivers // r_block
+    chunk_ids = senders // chunk_size
+    cell = block_ids.astype(np.int64) * c + chunk_ids
+    counts = np.bincount(cell, minlength=num_blocks * c)
+    e_max = int(counts.max()) if counts.size else 1
+    e_cell = max(e_cell_multiple,
+                 -(-e_max // e_cell_multiple) * e_cell_multiple)
+
+    s_out = np.zeros((c, num_blocks, e_cell), np.int32)
+    r_out = np.zeros((num_blocks, c, e_cell), np.int32)
+    w_out = np.zeros((num_blocks, c, e_cell), np.float32)
+    id_out = np.full((num_blocks, c, e_cell), e, np.int32)
+
+    order = np.argsort(cell, kind="stable")
+    sorted_cells = cell[order]
+    starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    slots = np.arange(e, dtype=np.int64) - starts[sorted_cells]
+    b_idx = (sorted_cells // c).astype(np.int64)
+    c_idx = (sorted_cells % c).astype(np.int64)
+    s_out[c_idx, b_idx, slots] = (senders[order]
+                                  - c_idx.astype(np.int32) * chunk_size)
+    r_out[b_idx, c_idx, slots] = (receivers[order]
+                                  - b_idx.astype(np.int32) * r_block)
+    w_out[b_idx, c_idx, slots] = weights[order]
+    id_out[b_idx, c_idx, slots] = order.astype(np.int32)
+
+    return TwoLevelBlockedGraph(
+        senders=jnp.asarray(s_out),
+        recv_local=jnp.asarray(r_out.reshape(num_blocks, c * e_cell)),
+        weights=jnp.asarray(w_out.reshape(num_blocks, c * e_cell)),
+        edge_ids=jnp.asarray(id_out.reshape(num_blocks, c * e_cell)),
+        num_nodes=n, num_nodes_padded=n_padded, r_block=r_block,
+        num_edges=e, chunk_size=chunk_size)
+
+
+def sort_block_slots_by_sender(blocked: BlockedGraph) -> BlockedGraph:
+    """Permute edge slots within each receiver block so senders ascend.
+
+    The SpMM gather `h[senders]` is the bandwidth bottleneck at scale
+    (10M random rows from a 512MB table, BASELINE config 5); slot order
+    within a block is free (the one-hot reduction is order-invariant), and
+    an ascending address stream maximizes DRAM page/row-buffer hits for
+    the gather engine. Host-side O(E log E_BLOCK) preprocessing.
+    """
+    s = np.asarray(blocked.senders)
+    r = np.asarray(blocked.recv_local)
+    w = np.asarray(blocked.weights)
+    ids = np.asarray(blocked.edge_ids)
+    # order padding slots (weight 0, sender 0) first; harmless either way
+    order = np.argsort(s, axis=1, kind="stable")
+    take = np.take_along_axis
+    return BlockedGraph(
+        senders=jnp.asarray(take(s, order, axis=1)),
+        recv_local=jnp.asarray(take(r, order, axis=1)),
+        weights=jnp.asarray(take(w, order, axis=1)),
+        edge_ids=jnp.asarray(take(ids, order, axis=1)),
+        num_nodes=blocked.num_nodes,
+        num_nodes_padded=blocked.num_nodes_padded,
+        r_block=blocked.r_block, num_edges=blocked.num_edges)
+
+
+def reorder_nodes(graph: COOGraph, method: str = "degree"
+                  ) -> Tuple[COOGraph, np.ndarray]:
+    """Relabel nodes to improve SpMM gather locality on structured graphs.
+
+    Returns (relabeled graph, perm) where perm[new_id] = old_id; features
+    must be permuted to match (`h_new = h_old[perm]`) and outputs map back
+    with `out_old = out_new[inv]` via `inverse_permutation(perm)`.
+
+    Methods:
+      * 'degree': sort nodes by descending out-degree — hot senders cluster
+        at low addresses so the gather's working set concentrates (helps
+        power-law graphs; a uniform random graph has no locality to mine).
+      * 'bfs': breadth-first relabeling from node 0 (RCM-style) — neighbors
+        get nearby ids, concentrating both gather and scatter ranges for
+        graphs with community/geometric structure (e.g. interference
+        graphs, meshes).
+    """
+    senders = np.asarray(graph.senders)
+    receivers = np.asarray(graph.receivers)
+    n = graph.num_nodes
+    if method == "degree":
+        out_deg = np.bincount(senders, minlength=n)
+        perm = np.argsort(-out_deg, kind="stable").astype(np.int32)
+    elif method == "bfs":
+        # CSR over the undirected edge set, then BFS from every unvisited
+        # node in ascending id order (handles disconnected graphs)
+        und_s = np.concatenate([senders, receivers])
+        und_r = np.concatenate([receivers, senders])
+        order = np.argsort(und_s, kind="stable")
+        sorted_r = und_r[order]
+        counts = np.bincount(und_s, minlength=n)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        visited = np.zeros(n, bool)
+        perm = np.empty(n, np.int32)
+        out_pos = 0
+        from collections import deque
+        for start in range(n):
+            if visited[start]:
+                continue
+            visited[start] = True
+            queue = deque([start])
+            while queue:
+                u = queue.popleft()
+                perm[out_pos] = u
+                out_pos += 1
+                for v in sorted_r[offsets[u]:offsets[u + 1]]:
+                    if not visited[v]:
+                        visited[v] = True
+                        queue.append(v)
+        assert out_pos == n
+    else:
+        raise ValueError(f"unknown reorder method {method!r}")
+
+    inv = inverse_permutation(perm)
+    new = COOGraph(senders=jnp.asarray(inv[senders], jnp.int32),
+                   receivers=jnp.asarray(inv[receivers], jnp.int32),
+                   weights=graph.weights, num_nodes=n)
+    return new, perm
+
+
+def inverse_permutation(perm: np.ndarray) -> np.ndarray:
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.shape[0], dtype=perm.dtype)
+    return inv
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class CSRGraph:
     """Receiver-sorted CSR layout: edges incoming to node r live at
     [offsets[r], offsets[r+1]). Host-built once per topology; device

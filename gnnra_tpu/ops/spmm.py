@@ -31,7 +31,7 @@ from typing import Literal
 import jax
 import jax.numpy as jnp
 
-from gnnra_tpu.graph import BlockedGraph, COOGraph
+from gnnra_tpu.graph import BlockedGraph, COOGraph, TwoLevelBlockedGraph
 
 Impl = Literal["jnp", "pallas", "pallas_interpret"]
 
@@ -56,12 +56,23 @@ def sddmm_coo(a: jax.Array, b: jax.Array, graph: COOGraph) -> jax.Array:
 # Blocked implementations (jnp fallback + Pallas kernel)
 # ---------------------------------------------------------------------------
 
-def _gather_msgs(h: jax.Array, blocked: BlockedGraph) -> jax.Array:
-    """XLA row gather: [B, E_BLOCK, F]."""
+def _gather_msgs(h: jax.Array, blocked) -> jax.Array:
+    """XLA row gather into slot order: [B, E_BLOCK, F].
+
+    For the two-level layout the gather runs chunk-by-chunk: each chunk's
+    indices address only a [chunk_size, F] static slice of h, so the gather
+    engine's working set stays DRAM-page/TLB-local no matter how large the
+    full table is (the config-5 locality fix, docs/RESULTS.md)."""
+    if isinstance(blocked, TwoLevelBlockedGraph):
+        s = blocked.chunk_size
+        n = h.shape[0]
+        parts = [h[c * s:min((c + 1) * s, n)][blocked.senders[c]]
+                 for c in range(blocked.num_chunks)]     # [B, E_CELL, F] each
+        return jnp.concatenate(parts, axis=1)            # [B, C*E_CELL, F]
     return h[blocked.senders]
 
 
-def _spmm_blocked_jnp(h: jax.Array, blocked: BlockedGraph) -> jax.Array:
+def _spmm_blocked_jnp(h: jax.Array, blocked) -> jax.Array:
     """Pure-jnp blocked SpMM (same math as the kernel; used as oracle and as
     CPU fallback). Returns [num_nodes, F]."""
     msgs = _gather_msgs(h, blocked)                      # [B, E, F]
@@ -99,13 +110,13 @@ def _seg_reduce_kernel(recv_ref, w_ref, msgs_ref, out_ref):
     out_ref[0, :, :] = out.astype(out_ref.dtype)
 
 
-def _spmm_blocked_pallas(h: jax.Array, blocked: BlockedGraph,
+def _spmm_blocked_pallas(h: jax.Array, blocked,
                          interpret: bool = False) -> jax.Array:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     msgs = _gather_msgs(h, blocked)                      # [B, E, F]
-    b, e = blocked.senders.shape
+    b, e = blocked.recv_local.shape
     f = h.shape[-1]
     r = blocked.r_block
     grid = (b,)
@@ -132,18 +143,20 @@ def _spmm_blocked_pallas(h: jax.Array, blocked: BlockedGraph,
     return out.reshape(blocked.num_nodes_padded, f)[:blocked.num_nodes]
 
 
-def spmm_blocked(h: jax.Array, blocked: BlockedGraph,
+def spmm_blocked(h: jax.Array, blocked,
                  impl: Impl = "pallas") -> jax.Array:
-    """Non-differentiable blocked SpMM; see `make_spmm` for the VJP'd op."""
+    """Non-differentiable blocked SpMM over a `BlockedGraph` OR a
+    `TwoLevelBlockedGraph` (sender-chunked gather for very large node
+    tables); see `make_spmm` for the VJP'd op."""
     if impl == "jnp":
         return _spmm_blocked_jnp(h, blocked)
     return _spmm_blocked_pallas(h, blocked,
                                 interpret=(impl == "pallas_interpret"))
 
 
-def make_spmm(fwd_blocked: BlockedGraph, bwd_blocked: BlockedGraph,
-              impl: Impl = "pallas"):
-    """Differentiable SpMM closed over (forward, transposed) blocked layouts.
+def make_spmm(fwd_blocked, bwd_blocked, impl: Impl = "pallas"):
+    """Differentiable SpMM closed over (forward, transposed) blocked layouts
+    (single-level `block_by_receiver` or two-level `block_two_level`).
 
     fwd_blocked: block_by_receiver(graph)
     bwd_blocked: block_by_receiver(graph.transpose()) — used for dL/dh.
@@ -161,6 +174,42 @@ def make_spmm(fwd_blocked: BlockedGraph, bwd_blocked: BlockedGraph,
 
     spmm.defvjp(fwd, bwd)
     return spmm
+
+
+def make_spmm_call(impl: Impl = "pallas"):
+    """Differentiable SpMM taking the layouts as ARGUMENTS:
+    f(h, fwd_blocked, bwd_blocked) -> [N, F].
+
+    `make_spmm` closes over the layout arrays, which jit embeds in the
+    program as constants — at 10M-edge scale that is hundreds of MB of
+    HLO, too large for remote-compile transports (observed: HTTP 413 from
+    the compile relay). Passing the layouts as pytree arguments keeps the
+    program small and the arrays as runtime parameters. The layout args
+    get symbolic-zero cotangents (float0 for the int arrays)."""
+
+    @jax.custom_vjp
+    def f(h, fwd_blocked, bwd_blocked):
+        del bwd_blocked
+        return spmm_blocked(h, fwd_blocked, impl)
+
+    def fwd(h, fwd_blocked, bwd_blocked):
+        return (f(h, fwd_blocked, bwd_blocked),
+                (h.shape[0], fwd_blocked, bwd_blocked))
+
+    def _zero_cotangent(tree):
+        import numpy as _np
+        return jax.tree.map(
+            lambda x: (jnp.zeros(x.shape, x.dtype)
+                       if jnp.issubdtype(x.dtype, jnp.floating)
+                       else _np.zeros(x.shape, jax.dtypes.float0)), tree)
+
+    def bwd(res, g):
+        n, fwd_blocked, bwd_blocked = res
+        dh = spmm_blocked(g, bwd_blocked, impl)[:n]
+        return dh, _zero_cotangent(fwd_blocked), _zero_cotangent(bwd_blocked)
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
 def make_weighted_spmm(fwd_blocked: BlockedGraph, bwd_blocked: BlockedGraph,

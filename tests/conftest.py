@@ -17,5 +17,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# Persistent compile cache: the suite is compile-dominated on this 2-CPU
+# box (shard_map/GSPMD programs take 10-60 s each to build); warm-cache
+# runs load them instead of recompiling.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 assert jax.device_count() == 8, "tests expect 8 virtual CPU devices"

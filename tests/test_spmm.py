@@ -52,6 +52,85 @@ class TestGraph:
         total = sum(int((np.asarray(s.weights) != 0).sum()) for s in shards)
         assert total == 999
 
+    @pytest.mark.parametrize("impl", ["jnp", "pallas_interpret"])
+    def test_sender_sorted_slots_preserve_spmm(self, impl):
+        """Slot order within a block is free for the one-hot reduction;
+        sorting by sender (the gather-locality optimization for config-5
+        scale) must not change the SpMM result."""
+        g = make_graph(seed=7, n=300, e=2000)
+        blocked = graph_lib.block_by_receiver(g, r_block=128)
+        sorted_bl = graph_lib.sort_block_slots_by_sender(blocked)
+        s = np.asarray(sorted_bl.senders)
+        assert (np.diff(s, axis=1) >= 0).all(), "senders not ascending"
+        h = jax.random.normal(jax.random.PRNGKey(8), (300, 16))
+        got = np.asarray(spmm.spmm_blocked(h, sorted_bl, impl=impl))
+        want = np.asarray(spmm.spmm_coo(h, g))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("impl", ["jnp", "pallas_interpret"])
+    @pytest.mark.parametrize("num_chunks", [1, 4, 7])
+    def test_two_level_blocked_matches_oracle(self, impl, num_chunks):
+        """Sender-chunked two-level layout (the config-5 large-table gather
+        fix): identical SpMM result to the segment-sum oracle."""
+        g = make_graph(seed=12, n=300, e=2500)
+        tl = graph_lib.block_two_level(g, r_block=128, num_chunks=num_chunks)
+        assert (np.asarray(tl.weights) != 0).sum() == 2500
+        h = jax.random.normal(jax.random.PRNGKey(13), (300, 16))
+        got = np.asarray(spmm.spmm_blocked(h, tl, impl=impl))
+        want = np.asarray(spmm.spmm_coo(h, g))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_spmm_call_layouts_as_args_grad(self):
+        """make_spmm_call passes layouts as runtime arguments (closing over
+        them bakes 100s of MB of constants into the HLO — rejected by
+        remote-compile transports at config-5 scale)."""
+        g = make_graph(seed=21, n=200, e=1500)
+        tl_f = graph_lib.block_two_level(g, r_block=64, num_chunks=4)
+        tl_b = graph_lib.block_two_level(g.transpose(), r_block=64,
+                                         num_chunks=4)
+        h = jax.random.normal(jax.random.PRNGKey(22), (200, 8))
+        call = spmm.make_spmm_call(impl="jnp")
+        got = jax.jit(jax.grad(
+            lambda h, f_, b_: jnp.sum(call(h, f_, b_) * h)))(h, tl_f, tl_b)
+        bl_f = graph_lib.block_by_receiver(g, r_block=64)
+        bl_b = graph_lib.block_by_receiver(g.transpose(), r_block=64)
+        op = spmm.make_spmm(bl_f, bl_b, impl="jnp")
+        want = jax.grad(lambda h: jnp.sum(op(h) * h))(h)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_two_level_vjp_matches_single_level(self):
+        g = make_graph(seed=14, n=200, e=1500)
+        tl_f = graph_lib.block_two_level(g, r_block=64, num_chunks=4)
+        tl_b = graph_lib.block_two_level(g.transpose(), r_block=64,
+                                         num_chunks=4)
+        bl_f = graph_lib.block_by_receiver(g, r_block=64)
+        bl_b = graph_lib.block_by_receiver(g.transpose(), r_block=64)
+        h = jax.random.normal(jax.random.PRNGKey(15), (200, 8))
+        op_tl = spmm.make_spmm(tl_f, tl_b, impl="jnp")
+        op_bl = spmm.make_spmm(bl_f, bl_b, impl="jnp")
+        g_tl = jax.grad(lambda h: jnp.sum(op_tl(h) * h))(h)
+        g_bl = jax.grad(lambda h: jnp.sum(op_bl(h) * h))(h)
+        np.testing.assert_allclose(np.asarray(g_tl), np.asarray(g_bl),
+                                   rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("method", ["degree", "bfs"])
+    def test_reorder_nodes_preserves_spmm(self, method):
+        g = make_graph(seed=9, n=257, e=1500)
+        new_g, perm = graph_lib.reorder_nodes(g, method=method)
+        assert sorted(perm.tolist()) == list(range(257))
+        inv = graph_lib.inverse_permutation(perm)
+        h = jax.random.normal(jax.random.PRNGKey(10), (257, 8))
+        out_new = np.asarray(spmm.spmm_coo(h[jnp.asarray(perm)], new_g))
+        want = np.asarray(spmm.spmm_coo(h, g))
+        np.testing.assert_allclose(out_new[inv], want, rtol=1e-4, atol=1e-4)
+
+    def test_degree_reorder_sorts_hot_senders_first(self):
+        g = make_graph(seed=11, n=100, e=2000)
+        new_g, perm = graph_lib.reorder_nodes(g, method="degree")
+        deg = np.bincount(np.asarray(new_g.senders), minlength=100)
+        assert (np.diff(deg) <= 0).all(), "out-degree not descending"
+
 
 class TestSpmmBlocked:
     @pytest.mark.parametrize("impl", ["jnp", "pallas_interpret"])
