@@ -10,6 +10,7 @@ shared-per-node weights (ModelConfig.share_weights=True), scaling the same
 The aggregate is injected as a closure so the same forward serves:
   * aggregate_coo(graph)            — segment-sum (oracle / small graphs)
   * make_spmm(fwd_blk, bwd_blk)     — Pallas kernel with custom VJP
+  * aggregate_blocked(fwd, bwd)     — same, incl. two-level layouts
   * make_ring_spmm(mesh, part, f)   — multi-chip halo-exchange ring
 """
 
@@ -39,6 +40,21 @@ def aggregate_fixed_degree(fd) -> AggregateFn:
     gather-only forward — the BASELINE config 4 sampling path. Resample per
     step (new key -> new fd) for fresh estimator noise."""
     return lambda h: spmm_lib.spmm_fixed_degree(h, fd)
+
+
+def aggregate_blocked(fwd_layout, bwd_layout,
+                      impl: str = "pallas") -> AggregateFn:
+    """Differentiable blocked-kernel aggregation over a single-level
+    (`graph.block_by_receiver`) or two-level (`graph.block_two_level`,
+    the >100 MB-table locality fix) layout pair.
+
+    The returned closure captures the layouts; under jit they lower as
+    program constants, which is fine to ~10M edges. Beyond that, pass the
+    layouts as jit ARGUMENTS and call `spmm.make_spmm_call` directly —
+    constant-embedding 100s of MB of layout overflows remote-compile
+    transports (docs/RESULTS.md)."""
+    call = spmm_lib.make_spmm_call(impl=impl)
+    return lambda h: call(h, fwd_layout, bwd_layout)
 
 
 def init_params(key: jax.Array, cfg: ModelConfig):

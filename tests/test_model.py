@@ -269,6 +269,31 @@ class TestSparseModel:
             gnn_dqn_sparse.apply(p, node, edge, op, cfg) ** 2))(params)
         assert np.isfinite(np.asarray(gr["gnn"][0]["w1"]).sum())
 
+    def test_two_level_aggregation_through_model(self):
+        """aggregate_blocked with the two-level (sender-chunked) layout:
+        forward equals segment-sum through the whole model; grads flow."""
+        from gnnra_tpu import graph as graph_lib
+        from gnnra_tpu.models import gnn_dqn_sparse
+        cfg = ModelConfig(share_weights=True)
+        n = 500
+        g = graph_lib.random_graph_host(6, n, 2500)
+        tl_f = graph_lib.block_two_level(g, r_block=128, num_chunks=4)
+        tl_b = graph_lib.block_two_level(g.transpose(), r_block=128,
+                                         num_chunks=4)
+        op = gnn_dqn_sparse.aggregate_blocked(tl_f, tl_b, impl="jnp")
+        params = gnn_dqn_sparse.init_params(jax.random.PRNGKey(7), cfg)
+        rng = np.random.RandomState(8)
+        node = jnp.asarray(rng.randn(n, 9), np.float32)
+        edge = jnp.asarray(rng.randn(n, 4), np.float32)
+        q = gnn_dqn_sparse.apply(params, node, edge, op, cfg)
+        q_ref = gnn_dqn_sparse.apply(params, node, edge,
+                                     gnn_dqn_sparse.aggregate_coo(g), cfg)
+        np.testing.assert_allclose(np.asarray(q), np.asarray(q_ref),
+                                   rtol=1e-3, atol=1e-4)
+        gr = jax.grad(lambda p: jnp.sum(
+            gnn_dqn_sparse.apply(p, node, edge, op, cfg) ** 2))(params)
+        assert np.isfinite(np.asarray(gr["gnn"][0]["w1"]).sum())
+
     def test_sampled_aggregation_full_k_equals_exact(self):
         # K-sampling with K >= max in-degree and replacement is NOT exact,
         # but the fixed-degree closure with a hand-built full neighborhood
