@@ -10,6 +10,7 @@ on-device vmapped checkpoint-bank evaluator instead of the reference's
 20,000 .h5-load host loop.
 
 Usage: python scripts/evaluation_artifact_run.py [episodes] [trials] [steps]
+       [results_base]
 """
 
 import dataclasses
@@ -29,6 +30,7 @@ def main():
     episodes = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+    results_base = sys.argv[4] if len(sys.argv) > 4 else "results"
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -46,7 +48,7 @@ def main():
         eval=dataclasses.replace(cfg.eval, num_trials=trials,
                                  num_test_steps=steps,
                                  evaluation_episode_interval=5))
-    agent = Agent(cfg, results_base="results")
+    agent = Agent(cfg, results_base=results_base)
 
     done = agent.resume_latest()
     if done < episodes:
