@@ -80,7 +80,9 @@ def main(argv=None):
                         help="also bench the sender-chunked two-level "
                         "layout with this many chunks (config-5 large-"
                         "table gather fix); 0 = skip")
-    parser.add_argument("--r-block", type=int, default=128)
+    parser.add_argument("--r-block", type=int, default=256,
+                        help="receiver-block rows; 256 measured optimal at "
+                        "both 1M- and 10M-edge scale (docs/RESULTS.md)")
     parser.add_argument("--skip-xla-baseline", action="store_true",
                         help="skip the XLA segment-sum baselines (they are "
                         "O(10x) slower than the kernels; at 10M+ edges they "
