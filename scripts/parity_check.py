@@ -40,6 +40,10 @@ def main():
     args = parser.parse_args()
 
     import jax
+    # Exact f32 matmul accumulation: on TPU the DEFAULT precision runs
+    # matmuls through bf16 passes (~1e-2 abs error on this model), which is
+    # the intended fast path for training but not for a numerics audit.
+    jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp
     from gnnra_tpu.config import ModelConfig
     from gnnra_tpu.models import gnn_dqn
