@@ -66,7 +66,10 @@ def section_production():
 
     env_cfg = EnvConfig()
     model_cfg = ModelConfig()
-    train_cfg = TrainConfig(memory_capacity=100_000)
+    # Full reference MEMORY_CAPACITY=1e6 (BS_brain.py:274). The flattened 2-D
+    # replay layout (agent/replay.py) makes step time capacity-independent,
+    # so the bench no longer needs the round-1 100k reduction.
+    train_cfg = TrainConfig()
     total_steps = 10_000_000
 
     key = jax.random.PRNGKey(0)
@@ -131,7 +134,7 @@ def section_proxy():
 
     env_cfg = EnvConfig()
     model_cfg = ModelConfig()
-    train_cfg = TrainConfig(memory_capacity=100_000)
+    train_cfg = TrainConfig()   # reference capacity 1e6 (BS_brain.py:274)
 
     key = jax.random.PRNGKey(0)
     agent = dqn.init_agent(key, model_cfg, train_cfg)

@@ -2,13 +2,24 @@
 
 Re-designs `class Memory` (reference BS_brain.py:245-270) — a Python list of
 numpy tuples sampled on host — as a fixed-size ring of device arrays updated
-with `lax.dynamic_update_slice` inside jit, so transition generation and
-replay sampling never leave the TPU.
+with row scatters inside jit, so transition generation and replay sampling
+never leave the TPU.
 
 A transition stores the GNN inputs directly (node/edge features + adjacency)
 instead of the reference's flat concatenated state vector
 (BS_brain.py:469,545); the next state shares the current adjacency, which is
 also the reference's behavior (S' adjacency aliased to S at BS_brain.py:583).
+
+Storage layout: every per-transition tensor is kept FLATTENED to a 2-D
+[capacity, flat] row — `gather` restores the model-facing [B, N, ...] shapes.
+This is a TPU performance invariant, not a cosmetic choice: with 3-D
+[C, N, D] buffers, XLA's layout assignment gives the in-loop row *gather*
+(replay sampling) a batch-minor layout while the row *scatter* (rollout
+append) keeps the row-major carry layout, and reconciles the two with a
+full-ring relayout copy EVERY training step — measured ~2 ms/step at
+capacity 100k (~40 % of the whole DQN train step, scaling linearly with
+capacity). Flat 2-D rows give both ops the same layout and the copy
+disappears (microbench: 440 -> 120 us per scatter+gather+consume iteration).
 """
 
 from __future__ import annotations
@@ -23,28 +34,35 @@ from gnnra_tpu.config import ModelConfig, TrainConfig
 
 
 class ReplayState(struct.PyTreeNode):
-    """Ring buffer of transitions (capacity C, N nodes)."""
+    """Ring buffer of transitions (capacity C, N nodes).
 
-    node: jax.Array       # [C, N, node_dim]   current state
-    edge: jax.Array       # [C, N, edge_dim]
-    adj: jax.Array        # [C, N, N]          shared by S and S'
-    action: jax.Array     # [C, N] int32       RB per node (n_neighbor=1 flat)
-    reward: jax.Array     # [C]                shared global reward
-    next_node: jax.Array  # [C, N, node_dim]
-    next_edge: jax.Array  # [C, N, edge_dim]
+    Buffers are stored flattened per row (see module docstring); `dims`
+    carries the static (n_nodes, node_dim, edge_dim) needed to restore
+    model-facing shapes at gather time.
+    """
+
+    node: jax.Array       # [C, N*node_dim]   current state, flattened
+    edge: jax.Array       # [C, N*edge_dim]
+    adj: jax.Array        # [C, N*N]          shared by S and S'
+    action: jax.Array     # [C, N] int32      RB per node (n_neighbor=1 flat)
+    reward: jax.Array     # [C]               shared global reward
+    next_node: jax.Array  # [C, N*node_dim]
+    next_edge: jax.Array  # [C, N*edge_dim]
     cursor: jax.Array     # [] int32  next write slot
     size: jax.Array       # [] int32  number of valid entries
+    dims: Tuple[int, int, int] = struct.field(pytree_node=False)
 
 
 def init(model_cfg: ModelConfig, capacity: int) -> ReplayState:
     n, dn, de = model_cfg.n_nodes, model_cfg.node_dim, model_cfg.edge_dim
     z = jnp.zeros
     return ReplayState(
-        node=z((capacity, n, dn)), edge=z((capacity, n, de)),
-        adj=z((capacity, n, n)), action=z((capacity, n), jnp.int32),
-        reward=z((capacity,)), next_node=z((capacity, n, dn)),
-        next_edge=z((capacity, n, de)),
-        cursor=jnp.zeros((), jnp.int32), size=jnp.zeros((), jnp.int32))
+        node=z((capacity, n * dn)), edge=z((capacity, n * de)),
+        adj=z((capacity, n * n)), action=z((capacity, n), jnp.int32),
+        reward=z((capacity,)), next_node=z((capacity, n * dn)),
+        next_edge=z((capacity, n * de)),
+        cursor=jnp.zeros((), jnp.int32), size=jnp.zeros((), jnp.int32),
+        dims=(n, dn, de))
 
 
 def add(state: ReplayState, node, edge, adj, action, reward,
@@ -54,13 +72,13 @@ def add(state: ReplayState, node, edge, adj, action, reward,
     c = state.cursor
     capacity = state.reward.shape[0]
     return state.replace(
-        node=state.node.at[c].set(node),
-        edge=state.edge.at[c].set(edge),
-        adj=state.adj.at[c].set(adj),
+        node=state.node.at[c].set(node.reshape(-1)),
+        edge=state.edge.at[c].set(edge.reshape(-1)),
+        adj=state.adj.at[c].set(adj.reshape(-1)),
         action=state.action.at[c].set(action),
         reward=state.reward.at[c].set(reward),
-        next_node=state.next_node.at[c].set(next_node),
-        next_edge=state.next_edge.at[c].set(next_edge),
+        next_node=state.next_node.at[c].set(next_node.reshape(-1)),
+        next_edge=state.next_edge.at[c].set(next_edge.reshape(-1)),
         cursor=(c + 1) % capacity,
         size=jnp.minimum(state.size + 1, capacity))
 
@@ -77,13 +95,13 @@ def add_batch(state: ReplayState, node, edge, adj, action, reward,
     capacity = state.reward.shape[0]
     idx = (state.cursor + jnp.arange(t)) % capacity
     return state.replace(
-        node=state.node.at[idx].set(node),
-        edge=state.edge.at[idx].set(edge),
-        adj=state.adj.at[idx].set(adj),
+        node=state.node.at[idx].set(node.reshape(t, -1)),
+        edge=state.edge.at[idx].set(edge.reshape(t, -1)),
+        adj=state.adj.at[idx].set(adj.reshape(t, -1)),
         action=state.action.at[idx].set(action),
         reward=state.reward.at[idx].set(reward),
-        next_node=state.next_node.at[idx].set(next_node),
-        next_edge=state.next_edge.at[idx].set(next_edge),
+        next_node=state.next_node.at[idx].set(next_node.reshape(t, -1)),
+        next_edge=state.next_edge.at[idx].set(next_edge.reshape(t, -1)),
         cursor=(state.cursor + t) % capacity,
         size=jnp.minimum(state.size + t, capacity))
 
@@ -114,7 +132,12 @@ def sample_indices(state: ReplayState, key: jax.Array, batch_size: int,
 
 def gather(state: ReplayState, idx: jax.Array) -> Tuple[jax.Array, ...]:
     """Fetch a batch: (node, edge, adj, action, reward, next_node,
-    next_edge)."""
-    return (state.node[idx], state.edge[idx], state.adj[idx],
-            state.action[idx], state.reward[idx], state.next_node[idx],
-            state.next_edge[idx])
+    next_edge) in model-facing [B, N, ...] shapes."""
+    n, dn, de = state.dims
+    b = idx.shape[0]
+    return (state.node[idx].reshape(b, n, dn),
+            state.edge[idx].reshape(b, n, de),
+            state.adj[idx].reshape(b, n, n),
+            state.action[idx], state.reward[idx],
+            state.next_node[idx].reshape(b, n, dn),
+            state.next_edge[idx].reshape(b, n, de))
