@@ -93,6 +93,11 @@ def add_batch(state: ReplayState, node, edge, adj, action, reward,
     the training scan."""
     t = reward.shape[0]
     capacity = state.reward.shape[0]
+    # With t > capacity the modular indices repeat and .at[idx].set resolves
+    # duplicates nondeterministically (NOT FIFO-last-wins); every config keeps
+    # burst sizes far below capacity, so reject the degenerate case outright.
+    assert t <= capacity, (
+        f"replay burst of {t} transitions exceeds ring capacity {capacity}")
     idx = (state.cursor + jnp.arange(t)) % capacity
     return state.replace(
         node=state.node.at[idx].set(node.reshape(t, -1)),

@@ -26,16 +26,45 @@ from gnnra_tpu.config import EnvConfig, ModelConfig, TrainConfig
 from gnnra_tpu.env import vehicular
 
 
+# Leaf names the model pytree may contain, with the meaning of their axes.
+# models/gnn_dqn.py stacks every leaf as [*per_node, in_features..., out];
+# the TRAILING axis is always output features and the LEADING axis (when the
+# leaf has a per-node stack, ndim >= 2 for 'b', >= 3 for weights) is the
+# node/expert axis. Any new param family must be registered here — the spec
+# functions refuse unknown leaf names rather than guessing from ndim.
+_KNOWN_LEAF_NAMES = frozenset({"w", "w1", "w2", "w3", "b"})
+
+
+def _leaf_name(path) -> str:
+    last = path[-1]
+    return getattr(last, "key", getattr(last, "idx", last))
+
+
+def _check_known(path, leaf) -> str:
+    name = _leaf_name(path)
+    if name not in _KNOWN_LEAF_NAMES:
+        raise ValueError(
+            f"param leaf {jax.tree_util.keystr(path)!r} (shape {leaf.shape}) "
+            f"is not a registered weight family {sorted(_KNOWN_LEAF_NAMES)}; "
+            "add it to parallel/spmd._KNOWN_LEAF_NAMES with the right axis "
+            "convention before sharding it")
+    return name
+
+
 def param_specs(params: Any, model_axis: str = "model") -> Any:
     """PartitionSpecs for the parameter pytree: shard every weight's output
-    feature axis over the model axis, biases likewise."""
+    feature axis over the model axis, biases likewise.
+
+    Leaf-name aware: only the registered families (whose trailing axis is
+    known to be output features) are sharded; an unknown leaf name raises
+    instead of silently getting an ndim-guessed spec."""
 
     def spec_for(path, leaf):
-        del path
+        _check_known(path, leaf)
         ndim = leaf.ndim
         if ndim == 0:
             return P()
-        # shard the trailing (output-feature) axis
+        # trailing axis == output features for every registered family
         return P(*([None] * (ndim - 1) + [model_axis]))
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
@@ -46,11 +75,14 @@ def expert_param_specs(params: Any, expert_axis: str = "expert") -> Any:
     (leading node axis, reference BS_brain.py:121-200's per-D2D subnets) are
     structurally a fixed-routing mixture-of-experts (SURVEY.md §2 EP row);
     sharding the node axis places each node's GNN/Q-head expert on its own
-    device slice."""
+    device slice. Leaf-name aware like `param_specs`: leaves whose leading
+    axis is NOT a node stack (shared-weight 'w' [in,out] / 'b' [out]) stay
+    replicated."""
 
     def spec_for(path, leaf):
-        del path
-        if leaf.ndim <= 1:
+        name = _check_known(path, leaf)
+        node_stacked = leaf.ndim >= (2 if name == "b" else 3)
+        if not node_stacked:
             return P()
         return P(*([expert_axis] + [None] * (leaf.ndim - 1)))
 

@@ -35,7 +35,16 @@ def _unflatten(template: Any, flat: Dict[str, np.ndarray], prefix: str) -> Any:
     for path, leaf in leaves_with_paths:
         key = prefix + jax.tree_util.keystr(path)
         arr = flat[key]
-        leaves.append(np.asarray(arr, dtype=np.asarray(leaf).dtype))
+        want = np.asarray(leaf)
+        if arr.shape != want.shape:
+            # Fail at load time with a useful message instead of at the first
+            # post-load trace (e.g. a pre-refactor checkpoint whose replay
+            # ring was stored [C, N, D] loading into the 2-D [C, flat]
+            # template would otherwise slip through silently).
+            raise ValueError(
+                f"checkpoint leaf {key!r} has shape {arr.shape}, but the "
+                f"template expects {want.shape} — stale checkpoint layout?")
+        leaves.append(np.asarray(arr, dtype=want.dtype))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
