@@ -90,27 +90,36 @@ def rollout(agent: AgentState, env_state: vehicular.EnvState, key: jax.Array,
     epsilon-greedy action, env act (reward + world advance), featurize next
     state, store (S, A, R, S') with the adjacency shared between S and S'.
 
+    The action-independent env work (mobility, shadowing, fading, pathloss —
+    everything `act` does except reward + interference obs) is hoisted into
+    ONE batched `precompute_channel_trajectory` call; the serial scan keeps
+    only featurize -> forward -> action -> reward -> obs. Same per-step math,
+    different (batched) PRNG stream alignment — equal in distribution.
+
     Returns (agent', env_state', reward_per_transition [T]).
     """
+    k_traj, k_scan = jax.random.split(key)
+    chan = vehicular.precompute_channel_trajectory(
+        env_state, k_traj, env_cfg, train_cfg.transitions_per_step)
 
-    def body(carry, k):
+    def body(carry, xs):
         env_state, env_step = carry
+        k_act, chan_t = xs
         node, edge = features.node_edge_features(env_state, env_cfg)
         adj = features.adjacency(env_state, env_cfg)
         q = gnn_dqn.apply_single(agent.params, node, edge, adj, model_cfg)
         eps = policy.epsilon_at(env_step, total_env_steps, train_cfg)
-        k_act, k_env = jax.random.split(k)
         actions, _ = policy.epsilon_greedy(k_act, q, eps)
-        env_state, v2v_rate, v2i_rate, _ = vehicular.act(
-            env_state, actions[:, None], k_env, env_cfg)
+        env_state, v2v_rate, v2i_rate, _ = vehicular.apply_precomputed_transition(
+            env_state, chan_t, actions[:, None], env_cfg)
         reward = _weighted_reward(v2v_rate, v2i_rate, train_cfg)
         next_node, next_edge = features.node_edge_features(env_state, env_cfg)
         traj = (node, edge, adj, actions, reward, next_node, next_edge)
         return (env_state, env_step + 1), traj
 
-    keys = jax.random.split(key, train_cfg.transitions_per_step)
+    keys = jax.random.split(k_scan, train_cfg.transitions_per_step)
     (env_state, env_step), traj = jax.lax.scan(
-        body, (env_state, agent.env_step), keys)
+        body, (env_state, agent.env_step), (keys, chan))
     rep = replay_lib.add_batch(agent.replay, *traj)
     rewards = traj[4]
     return agent.replace(replay=rep, env_step=env_step), env_state, rewards
@@ -132,23 +141,30 @@ def rollout_batched(agent: AgentState, env_states: vehicular.EnvState,
       env_states: EnvState pytree with a leading [E] axis.
     Returns (agent', env_states', rewards [T, E]).
     """
+    k_traj, k_scan = jax.random.split(key)
+    n_envs = jax.tree.leaves(env_states)[0].shape[0]
+    # [E, T, ...] per-env trajectories -> transpose to [T, E, ...] so the
+    # scan consumes one time slice across all envs per step.
+    chan = jax.vmap(lambda s, k: vehicular.precompute_channel_trajectory(
+        s, k, env_cfg, train_cfg.transitions_per_step))(
+            env_states, jax.random.split(k_traj, n_envs))
+    chan = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), chan)
 
-    def body(carry, k):
+    def body(carry, xs):
         env_states, env_step = carry
+        k, chan_t = xs
         node, edge = jax.vmap(
             lambda s: features.node_edge_features(s, env_cfg))(env_states)
         adj = jax.vmap(lambda s: features.adjacency(s, env_cfg))(env_states)
         q = gnn_dqn.apply(agent.params, node, edge, adj, model_cfg)  # [E,N,A]
         eps = policy.epsilon_at(env_step, total_env_steps, train_cfg)
-        n_envs = q.shape[0]
-        k_act, k_env = jax.random.split(k)
-        act_keys = jax.random.split(k_act, n_envs)
+        act_keys = jax.random.split(k, n_envs)
         actions, _ = jax.vmap(policy.epsilon_greedy,
                               in_axes=(0, 0, None))(act_keys, q, eps)
-        env_keys = jax.random.split(k_env, n_envs)
         env_states, v2v_rate, v2i_rate, _ = jax.vmap(
-            lambda s, a, kk: vehicular.act(s, a[:, None], kk, env_cfg)
-        )(env_states, actions, env_keys)
+            lambda s, c, a: vehicular.apply_precomputed_transition(
+                s, c, a[:, None], env_cfg)
+        )(env_states, chan_t, actions)
         rewards = jax.vmap(
             lambda v, i: _weighted_reward(v, i, train_cfg))(v2v_rate, v2i_rate)
         next_node, next_edge = jax.vmap(
@@ -156,9 +172,9 @@ def rollout_batched(agent: AgentState, env_states: vehicular.EnvState,
         traj = (node, edge, adj, actions, rewards, next_node, next_edge)
         return (env_states, env_step + 1), traj
 
-    keys = jax.random.split(key, train_cfg.transitions_per_step)
+    keys = jax.random.split(k_scan, train_cfg.transitions_per_step)
     (env_states, env_step), traj = jax.lax.scan(
-        body, (env_states, agent.env_step), keys)
+        body, (env_states, agent.env_step), (keys, chan))
     # flatten [T, E, ...] -> [T*E, ...] and land as one scatter per buffer
     flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), traj)
     rep = replay_lib.add_batch(agent.replay, *flat)

@@ -336,3 +336,137 @@ def dump_act(state: EnvState, actions: jax.Array, cfg: EnvConfig
     """Reward only, no state change (reference `dump_act`, BS_brain.py:378-383).
     Used by the Random-Action and brute-force-Optimal baselines."""
     return compute_reward_with_channel_selection(state, actions, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Hoisted (action-independent) channel trajectory
+# ---------------------------------------------------------------------------
+
+class ChannelTrajectory(struct.PyTreeNode):
+    """Precomputed channel evolution for a burst of T transitions.
+
+    Entry [t] is the world state AFTER transition t — what the interference
+    observation and the next-state features see. Produced by
+    `precompute_channel_trajectory`; consumed step-by-step (as `lax.scan` xs)
+    by `apply_precomputed_transition`.
+    """
+
+    positions: jax.Array    # [T, N, 2]
+    directions: jax.Array   # [T, N] int32
+    shadow_v2v: jax.Array   # [T, N, N]
+    shadow_v2i: jax.Array   # [T, N]
+    v2v_abs: jax.Array      # [T, N, N]
+    v2i_abs: jax.Array      # [T, N]
+    v2v_fast: jax.Array     # [T, N, N, R]
+    v2i_fast: jax.Array     # [T, N, R]
+
+
+def ar1_chain(s0: jax.Array, rho: jax.Array, noise: jax.Array) -> jax.Array:
+    """All T states of the AR(1) recurrence s_t = rho*s_{t-1} + c*n_t,
+    c = sqrt(1-rho^2), computed in O(log T) batched steps.
+
+    Valid whenever rho is constant over the burst — true here because
+    shadowing's delta-distance is velocity*factor and velocities are
+    constant within an episode (mobility only changes positions/directions,
+    reference Environment.py:236-345). The recurrence is a composition of
+    affine maps x -> a*x + b, which is associative, so `associative_scan`
+    turns the T-step serial chain into a tree of fused elementwise ops.
+
+    Args: s0 [...], rho broadcastable to noise[t], noise [T, ...] ALREADY
+    scaled by the shadowing std. Returns [T, ...].
+    """
+    c = jnp.sqrt(1.0 - rho ** 2)
+    a = jnp.broadcast_to(rho, noise.shape)
+    b = c * noise
+
+    def combine(l, r):
+        # apply l (earlier) then r (later): x -> a_r*(a_l*x + b_l) + b_r
+        a_l, b_l = l
+        a_r, b_r = r
+        return a_l * a_r, a_r * b_l + b_r
+
+    a_cum, b_cum = jax.lax.associative_scan(combine, (a, b))
+    return a_cum * s0[None] + b_cum
+
+
+def precompute_channel_trajectory(state: EnvState, key: jax.Array,
+                                  cfg: EnvConfig, t_steps: int
+                                  ) -> ChannelTrajectory:
+    """Precompute T transitions of mobility + channel evolution in batch.
+
+    Actions influence ONLY the reward and the interference observation
+    (reference BS_brain.py:366-376: `act` = reward, then positions ->
+    channels -> interference obs, none of which read the action except the
+    obs) — so the whole channel chain for a rollout burst hoists out of the
+    policy loop:
+
+      * mobility stays a scan (genuinely sequential) of cheap masked ops;
+      * pathloss evaluates for all T positions in one vmapped pass;
+      * AR(1) shadowing collapses to an associative scan (`ar1_chain`);
+      * all T Rayleigh fading tensors come from ONE PRNG draw each, paying
+        the threefry hashing cost once instead of per transition.
+
+    The per-step math is identical to `renew_channels_fastfading`; only the
+    PRNG stream alignment differs (one batched draw vs T sequential splits),
+    which is equal in distribution.
+    """
+    n = state.positions.shape[0]
+    k_mob, k_sv, k_si, k_fv, k_fi = jax.random.split(key, 5)
+
+    def mob_step(carry, k):
+        pos, dirs = carry
+        pos, dirs = mobility.renew_positions(pos, dirs, state.velocities,
+                                             k, cfg)
+        return (pos, dirs), (pos, dirs)
+
+    _, (positions, directions) = jax.lax.scan(
+        mob_step, (state.positions, state.directions),
+        jax.random.split(k_mob, t_steps))
+
+    pl_v2v = jax.vmap(lambda p: channels.v2v_pathloss(p, cfg))(positions)
+    pl_v2i = jax.vmap(lambda p: channels.v2i_pathloss(p, cfg))(positions)
+
+    delta = cfg.shadow_delta_factor * state.velocities
+    rho_v2v = jnp.exp(-(delta[:, None] + delta[None, :])
+                      / cfg.v2v_decorrelation_distance)
+    rho_v2i = jnp.exp(-delta / cfg.v2i_decorrelation_distance)
+    noise_v2v = cfg.v2v_shadow_std * jax.random.normal(k_sv, (t_steps, n, n))
+    noise_v2i = cfg.v2i_shadow_std * jax.random.normal(k_si, (t_steps, n))
+    shadow_v2v = ar1_chain(state.shadow_v2v, rho_v2v, noise_v2v)
+    shadow_v2i = ar1_chain(state.shadow_v2i, rho_v2i, noise_v2i)
+
+    return ChannelTrajectory(
+        positions=positions, directions=directions,
+        shadow_v2v=shadow_v2v, shadow_v2i=shadow_v2i,
+        v2v_abs=pl_v2v + shadow_v2v + 50.0 * jnp.eye(n)[None],
+        v2i_abs=pl_v2i + shadow_v2i,
+        v2v_fast=channels.rayleigh_fading_db(k_fv, (t_steps, n, n, cfg.n_rb)),
+        v2i_fast=channels.rayleigh_fading_db(k_fi, (t_steps, n, cfg.n_rb)))
+
+
+def traj_entry(traj: ChannelTrajectory, t) -> ChannelTrajectory:
+    """Slice entry [t] (for callers not consuming the trajectory via scan)."""
+    return jax.tree.map(lambda x: x[t], traj)
+
+
+def apply_precomputed_transition(
+        state: EnvState, traj_t: ChannelTrajectory, actions: jax.Array,
+        cfg: EnvConfig
+) -> Tuple[EnvState, jax.Array, jax.Array, jax.Array]:
+    """`act` with the world-advance read from a precomputed trajectory slice.
+
+    Same step semantics as `act` (reward on current channels, then advance,
+    then the action-dependent interference observation); only the
+    action-independent parts come from `traj_t` (one un-stacked [t] entry).
+    """
+    v2v_rate, v2i_rate, interference = compute_reward_with_channel_selection(
+        state, actions, cfg)
+    state = state.replace(
+        positions=traj_t.positions, directions=traj_t.directions,
+        shadow_v2v=traj_t.shadow_v2v, shadow_v2i=traj_t.shadow_v2i,
+        v2v_abs=traj_t.v2v_abs, v2i_abs=traj_t.v2i_abs,
+        v2v_fast=traj_t.v2v_fast, v2i_fast=traj_t.v2i_fast,
+        step=state.step + 1)
+    state = state.replace(
+        v2v_interference_db=compute_interference_obs(state, actions, cfg))
+    return state, v2v_rate, v2i_rate, interference

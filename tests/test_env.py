@@ -375,3 +375,85 @@ class TestMobilityInvariants:
         # P(left turn) = 0.4; remaining 60% check right lanes (no crossing
         # here) and continue straight
         assert 0.35 < turned_left < 0.45
+
+
+class TestChannelTrajectory:
+    """The hoisted rollout path: precomputed action-independent channel
+    evolution must match the sequential `act` semantics exactly."""
+
+    def test_ar1_chain_matches_sequential_recurrence(self):
+        key = jax.random.PRNGKey(5)
+        s0 = jax.random.normal(key, (4, 4))
+        rho = jnp.exp(-jnp.abs(jax.random.normal(
+            jax.random.fold_in(key, 1), (4, 4))) / 10.0)
+        noise = jax.random.normal(jax.random.fold_in(key, 2), (50, 4, 4))
+        got = np.asarray(vehicular.ar1_chain(s0, rho, noise))
+        c = np.sqrt(1.0 - np.asarray(rho) ** 2)
+        s = np.asarray(s0)
+        for t in range(50):
+            s = np.asarray(rho) * s + c * np.asarray(noise[t])
+            np.testing.assert_allclose(got[t], s, rtol=1e-5, atol=1e-6)
+
+    def test_trajectory_internally_consistent(self):
+        """positions follow the sequential mobility chain; abs losses are
+        pathloss(positions) + shadow (+50 dB diag)."""
+        cfg = CFG
+        t_steps = 7
+        state = vehicular.new_random_game(jax.random.PRNGKey(3), cfg)
+        key = jax.random.PRNGKey(9)
+        traj = vehicular.precompute_channel_trajectory(state, key, cfg,
+                                                       t_steps)
+        # mobility oracle: same key-split structure as the implementation
+        k_mob = jax.random.split(key, 5)[0]
+        pos, dirs = state.positions, state.directions
+        for t, k in enumerate(jax.random.split(k_mob, t_steps)):
+            pos, dirs = mobility.renew_positions(pos, dirs, state.velocities,
+                                                 k, cfg)
+            np.testing.assert_allclose(np.asarray(traj.positions[t]),
+                                       np.asarray(pos), rtol=1e-6)
+            np.testing.assert_array_equal(np.asarray(traj.directions[t]),
+                                          np.asarray(dirs))
+            want_abs = (np.asarray(channels.v2v_pathloss(pos, cfg))
+                        + np.asarray(traj.shadow_v2v[t])
+                        + 50.0 * np.eye(cfg.n_veh))
+            np.testing.assert_allclose(np.asarray(traj.v2v_abs[t]), want_abs,
+                                       rtol=1e-5, atol=1e-5)
+            want_v2i = (np.asarray(channels.v2i_pathloss(pos, cfg))
+                        + np.asarray(traj.shadow_v2i[t]))
+            np.testing.assert_allclose(np.asarray(traj.v2i_abs[t]), want_v2i,
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_apply_precomputed_matches_act(self):
+        """Feeding `apply_precomputed_transition` a trajectory RECORDED from
+        sequential `act` calls reproduces act's states and rewards exactly —
+        the transition plumbing is identical; only the noise source moved."""
+        cfg = CFG
+        t_steps = 5
+        key = jax.random.PRNGKey(11)
+        state_seq = vehicular.new_random_game(jax.random.PRNGKey(4), cfg)
+        state_pre = state_seq
+        actions = jax.random.randint(
+            jax.random.fold_in(key, 99),
+            (t_steps, cfg.n_veh, cfg.n_neighbor), 0, cfg.n_rb)
+        for t in range(t_steps):
+            k = jax.random.fold_in(key, t)
+            state_seq, v2v_a, v2i_a, int_a = vehicular.act(
+                state_seq, actions[t], k, cfg)
+            rec = vehicular.ChannelTrajectory(
+                positions=state_seq.positions, directions=state_seq.directions,
+                shadow_v2v=state_seq.shadow_v2v, shadow_v2i=state_seq.shadow_v2i,
+                v2v_abs=state_seq.v2v_abs, v2i_abs=state_seq.v2i_abs,
+                v2v_fast=state_seq.v2v_fast, v2i_fast=state_seq.v2i_fast)
+            state_pre, v2v_b, v2i_b, int_b = \
+                vehicular.apply_precomputed_transition(state_pre, rec,
+                                                       actions[t], cfg)
+            np.testing.assert_allclose(np.asarray(v2v_a), np.asarray(v2v_b),
+                                       rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(v2i_a), np.asarray(v2i_b),
+                                       rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(int_a), np.asarray(int_b),
+                                       rtol=1e-6)
+            for leaf_a, leaf_b in zip(jax.tree.leaves(state_seq),
+                                      jax.tree.leaves(state_pre)):
+                np.testing.assert_allclose(np.asarray(leaf_a),
+                                           np.asarray(leaf_b), rtol=1e-6)
