@@ -446,6 +446,321 @@ def sample_neighbors(key: jax.Array, csr: CSRGraph, k: int
     return FixedDegreeGraph(senders=senders, weights=w, num_nodes=n)
 
 
+def geometric_interference_graph(seed: int, num_nodes: int,
+                                 target_degree: float = 10.0,
+                                 road_density: float = 0.25
+                                 ) -> Tuple[np.ndarray, COOGraph]:
+    """Scaled synthetic analog of the reference's interference topology.
+
+    The reference builds its graph from pairwise vehicle distances on a
+    Manhattan road grid (Environment.py:360-376 over positions evolved by
+    Environment.py:217-345); this generator reproduces that *structure* at
+    arbitrary scale: vehicles constrained to a grid of horizontal/vertical
+    roads over an area scaled to constant vehicular density, edges between
+    all pairs closer than a radius chosen for the target mean degree.
+    Edge discovery is O(E) via spatial hashing (cell binning), so million-
+    node graphs preprocess in seconds.
+
+    Unlike `random_graph`, the result has geometric locality — the topology
+    where `reorder_nodes('bfs')` + the paged-cell SpMM layout pay off.
+
+    Returns (positions [N,2] float32, COOGraph) — both directions of every
+    undirected pair are emitted as directed edges.
+    """
+    rng = np.random.RandomState(seed)
+    n = num_nodes
+    area = n * 1500.0                       # ~1 vehicle / 1500 m^2 like the
+    w = float(np.sqrt(area * 750.0 / 1299.0))   # 750x1299 reference area
+    h = area / w
+    n_roads = max(4, int(np.sqrt(n) * road_density))
+    xs_roads = np.linspace(0.0, w, n_roads)
+    ys_roads = np.linspace(0.0, h, n_roads)
+    horiz = rng.rand(n) < 0.5
+    x = np.where(horiz, rng.rand(n) * w, xs_roads[rng.randint(0, n_roads, n)])
+    y = np.where(horiz, ys_roads[rng.randint(0, n_roads, n)], rng.rand(n) * h)
+    pos = np.stack([x, y], axis=1).astype(np.float32)
+
+    # radius for the target degree, inflated because vehicles concentrate on
+    # roads rather than filling the area uniformly
+    radius = float(np.sqrt(target_degree * area / (np.pi * n)))
+
+    def edges_for_radius(r):
+        cx = (pos[:, 0] // r).astype(np.int64)
+        cy = (pos[:, 1] // r).astype(np.int64)
+        key = cx * 1_000_003 + cy
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        uniq, first = np.unique(ks, return_index=True)
+        idx_of = {int(k): int(f) for k, f in zip(uniq, first)}
+        cnt_of = {int(k): int(c) for k, c in zip(
+            uniq, np.diff(np.concatenate([first, [n]])))}
+        s_parts, r_parts = [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nk = (cx + dx) * 1_000_003 + (cy + dy)
+                f = np.fromiter((idx_of.get(int(k), 0) for k in nk),
+                                np.int64, n)
+                c = np.fromiter((cnt_of.get(int(k), 0) for k in nk),
+                                np.int64, n)
+                tot = int(c.sum())
+                if tot == 0:
+                    continue
+                rep_i = np.repeat(np.arange(n), c)
+                offs = np.concatenate([[0], np.cumsum(c)])[:-1]
+                pos_in = (np.arange(tot) - np.repeat(offs, c)
+                          + np.repeat(f, c))
+                j = order[pos_in]
+                d = np.linalg.norm(pos[rep_i] - pos[j], axis=1)
+                m = (d < r) & (rep_i != j)
+                s_parts.append(j[m])
+                r_parts.append(rep_i[m])
+        return (np.concatenate(s_parts).astype(np.int32),
+                np.concatenate(r_parts).astype(np.int32))
+
+    # one adjustment pass toward the target degree
+    senders, receivers = edges_for_radius(radius)
+    deg = senders.shape[0] / n
+    if deg > 0:
+        radius *= float(np.sqrt(target_degree / deg))
+        senders, receivers = edges_for_radius(radius)
+
+    graph = COOGraph(senders=jnp.asarray(senders),
+                     receivers=jnp.asarray(receivers),
+                     weights=jnp.ones((senders.shape[0],), jnp.float32),
+                     num_nodes=n)
+    return pos, graph
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PagedCellGraph:
+    """Paged (receiver-block x sender-chunk) cell layout for the fused
+    gather+reduce SpMM kernel (`ops.spmm.spmm_paged`).
+
+    Edges are bucketed into cells (receiver block b of R_BLOCK rows, sender
+    chunk c of CHUNK rows) and each cell's slots are split into fixed-size
+    PAGES (PAGE edge slots). One kernel grid step processes one page: the
+    sender chunk is DMA'd into VMEM (BlockSpec-indexed by the prefetched
+    `chunk_ids`), message rows are gathered from it with a one-hot MXU
+    matmul (so the [E, F] message tensor NEVER exists in HBM — the round
+    trip that dominates the unfused kernel's traffic, docs/RESULTS.md), and
+    the weighted one-hot reduction accumulates into the output block, which
+    stays VMEM-resident across the block's consecutive pages.
+
+    Unlike the uniform per-cell padding of `TwoLevelBlockedGraph` (which
+    pays the MAX cell occupancy in every cell — 2-8x waste on geometric
+    graphs whose near-diagonal cells are dense), paging wastes at most
+    PAGE-1 slots per cell: ~30-50% on BFS-ordered vehicular topologies.
+
+    Layout contract: pages are sorted by (block, chunk); every receiver
+    block owns at least one page (empty filler pages have weight 0), so
+    every output block is visited and zero-initialized.
+    """
+
+    senders: jax.Array     # [P, PAGE] int32 CHUNK-LOCAL sender ids (pad 0)
+    recv_local: jax.Array  # [P, PAGE] int32 block-local receiver (pad 0)
+    weights: jax.Array     # [P, PAGE] f32 edge weights (pad 0)
+    block_ids: jax.Array   # [P] int32 receiver-block index per page
+    chunk_ids: jax.Array   # [P] int32 sender-chunk index per page
+    first_flags: jax.Array  # [P] int32 1 iff first page of its block
+    num_nodes: int = dataclasses.field(metadata=dict(static=True))
+    num_nodes_padded: int = dataclasses.field(metadata=dict(static=True))
+    num_chunks_padded: int = dataclasses.field(metadata=dict(static=True))
+    r_block: int = dataclasses.field(metadata=dict(static=True))
+    chunk: int = dataclasses.field(metadata=dict(static=True))
+    num_edges: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_pages(self) -> int:
+        return int(self.senders.shape[0])
+
+    @property
+    def page(self) -> int:
+        return int(self.senders.shape[1])
+
+
+def page_cells(graph: COOGraph, r_block: int = 128, chunk: int = 128,
+               page: int = 256) -> PagedCellGraph:
+    """Host-side O(E) preprocessing into the paged-cell layout.
+
+    Best used after `reorder_nodes(graph, 'bfs')` on geometric topologies:
+    narrow sender windows per receiver block mean few distinct chunks per
+    block, so consecutive pages share their chunk and the chunk DMA
+    amortizes (the kernel's HBM traffic is ~one chunk load per non-empty
+    cell + the edge arrays; see PagedCellGraph docstring).
+    """
+    senders = np.asarray(graph.senders)
+    receivers = np.asarray(graph.receivers)
+    weights = np.asarray(graph.weights)
+    n = graph.num_nodes
+    e = senders.shape[0]
+    num_blocks = max(1, -(-n // r_block))
+    num_chunks = max(1, -(-n // chunk))
+
+    block_of = receivers // r_block
+    chunk_of = senders // chunk
+    cell = block_of.astype(np.int64) * num_chunks + chunk_of
+    order = np.argsort(cell, kind="stable")
+    cell_sorted = cell[order]
+
+    # unique cells in sorted order + their edge counts
+    uniq_cells, cell_start = np.unique(cell_sorted, return_index=True)
+    cell_count = np.diff(np.concatenate([cell_start, [e]]))
+    pages_per_cell = -(-cell_count // page)
+
+    # guarantee >= 1 page per receiver block (filler page, weight 0)
+    blocks_seen = np.unique(uniq_cells // num_chunks)
+    missing_blocks = np.setdiff1d(np.arange(num_blocks), blocks_seen)
+
+    total_pages = int(pages_per_cell.sum()) + missing_blocks.shape[0]
+    s_out = np.zeros((total_pages, page), np.int32)
+    r_out = np.zeros((total_pages, page), np.int32)
+    w_out = np.zeros((total_pages, page), np.float32)
+    pg_block = np.zeros(total_pages, np.int32)
+    pg_chunk = np.zeros(total_pages, np.int32)
+
+    # merge real cells and filler pages in block order
+    page_pos = 0
+    ci = 0
+    mi = 0
+    n_cells = uniq_cells.shape[0]
+    while ci < n_cells or mi < missing_blocks.shape[0]:
+        next_real_block = (int(uniq_cells[ci] // num_chunks)
+                          if ci < n_cells else np.iinfo(np.int64).max)
+        next_missing = (int(missing_blocks[mi])
+                        if mi < missing_blocks.shape[0]
+                        else np.iinfo(np.int64).max)
+        if next_missing < next_real_block:
+            pg_block[page_pos] = next_missing
+            pg_chunk[page_pos] = 0
+            page_pos += 1
+            mi += 1
+            continue
+        b = next_real_block
+        c = int(uniq_cells[ci] % num_chunks)
+        start = int(cell_start[ci])
+        count = int(cell_count[ci])
+        for p0 in range(0, count, page):
+            take = min(page, count - p0)
+            rows = order[start + p0:start + p0 + take]
+            s_out[page_pos, :take] = senders[rows] - c * chunk
+            r_out[page_pos, :take] = receivers[rows] - b * r_block
+            w_out[page_pos, :take] = weights[rows]
+            pg_block[page_pos] = b
+            pg_chunk[page_pos] = c
+            page_pos += 1
+        ci += 1
+    assert page_pos == total_pages
+
+    first = np.zeros(total_pages, np.int32)
+    first[0] = 1
+    first[1:] = (pg_block[1:] != pg_block[:-1]).astype(np.int32)
+    # paranoia: pages of a block must be contiguous (accumulation contract)
+    assert first.sum() == np.unique(pg_block).shape[0]
+
+    return PagedCellGraph(
+        senders=jnp.asarray(s_out), recv_local=jnp.asarray(r_out),
+        weights=jnp.asarray(w_out), block_ids=jnp.asarray(pg_block),
+        chunk_ids=jnp.asarray(pg_chunk), first_flags=jnp.asarray(first),
+        num_nodes=n, num_nodes_padded=num_blocks * r_block,
+        num_chunks_padded=num_chunks * chunk, r_block=r_block, chunk=chunk,
+        num_edges=e)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class WindowedDenseGraph:
+    """Dense sender-window layout for geometric/BFS-ordered topologies.
+
+    After BFS relabeling, all senders reaching a block of R_BLOCK
+    consecutive receivers fall inside a narrow window of node ids (measured
+    max span ~1900 for 256-row blocks on 100k-node vehicular-geometric
+    graphs). The block's local adjacency is then a small DENSE [R_BLOCK, W]
+    tile: SpMM becomes one MXU matmul per block against the [W, F] window
+    of h — no gather of any kind, A tiles and h windows both stream
+    sequentially from HBM (`ops.spmm.spmm_windowed`).
+
+    Memory: A is num_blocks * R_BLOCK * W * itemsize = N * W * itemsize
+    bytes (~410 MB bf16 at N=100k, W=2048) — the trade of ~16x more bytes
+    per edge (at degree 10) for perfectly sequential, MXU-shaped traffic.
+    Use for moderate-N geometric graphs; at N >= 1M prefer the blocked /
+    two-level layouts.
+    """
+
+    # A is stored 2-D [B*R_BLOCK, W]: rows of block b at [b*R, (b+1)*R).
+    # This is a TPU DMA-path invariant, not cosmetics: bf16 HBM->VMEM
+    # streaming of (1, R, W) blocks of a 3-D array runs at ~83 GB/s vs
+    # ~383 GB/s for (R, W) blocks of the equivalent 2-D array (measured;
+    # the leading singleton block dim forces a slow path for 16-bit tiles).
+    a_dense: jax.Array      # [B*R_BLOCK, W] edge weights (0 = no edge)
+    w_start: jax.Array      # [B] int32 first h row of each block's window
+    num_nodes: int = dataclasses.field(metadata=dict(static=True))
+    num_nodes_padded: int = dataclasses.field(metadata=dict(static=True))
+    r_block: int = dataclasses.field(metadata=dict(static=True))
+    num_edges: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_blocks(self) -> int:
+        return int(self.a_dense.shape[0]) // self.r_block
+
+    @property
+    def window(self) -> int:
+        return int(self.a_dense.shape[1])
+
+
+def window_dense(graph: COOGraph, r_block: int = 128, window: int = 2048,
+                 dtype=jnp.bfloat16) -> WindowedDenseGraph:
+    """Host-side O(E + N*W/r_block...) preprocessing into the dense-window
+    layout. Requires every block's sender span <= window (raise otherwise —
+    run `reorder_nodes(graph, 'bfs')` first on geometric topologies).
+
+    dtype: storage/compute dtype of the A tiles. bf16 is exact for the
+    common weight values (1.0 and small integers) and halves the dominant
+    A-streaming traffic; pass float32 for arbitrary f32 weights.
+    """
+    senders = np.asarray(graph.senders)
+    receivers = np.asarray(graph.receivers)
+    weights = np.asarray(graph.weights)
+    n = graph.num_nodes
+    e = senders.shape[0]
+    num_blocks = max(1, -(-n // r_block))
+    n_padded = num_blocks * r_block
+
+    block_of = receivers // r_block
+    # per-block sender window start: min sender, clamped so the window fits
+    w_start = np.zeros(num_blocks, np.int64)
+    mins = np.full(num_blocks, np.iinfo(np.int64).max)
+    maxs = np.full(num_blocks, -1)
+    np.minimum.at(mins, block_of, senders)
+    np.maximum.at(maxs, block_of, senders)
+    have = maxs >= 0
+    # starts are aligned DOWN to the TPU sublane tile (8 rows) so the
+    # kernel's dynamic-start window DMA has a provably tiled offset; the
+    # alignment slack (up to 7 rows) must also fit in the window
+    mins_aligned = (np.where(have, mins, 0) // 8) * 8
+    span = np.where(have, maxs - mins_aligned + 1, 0)
+    if span.max(initial=0) > window:
+        bad = int(np.argmax(span))
+        raise ValueError(
+            f"sender span {int(span[bad])} of receiver block {bad} exceeds "
+            f"window {window}; BFS-reorder the graph (graph.reorder_nodes) "
+            "or raise `window`")
+    w_start[have] = mins_aligned[have]
+    w_start = np.minimum(w_start, (max(0, n - window) // 8) * 8)
+
+    a = np.zeros((num_blocks, r_block, window), np.float32)
+    r_local = receivers - block_of * r_block
+    s_local = senders - w_start[block_of]
+    np.add.at(a, (block_of, r_local, s_local), weights)
+    a = a.reshape(num_blocks * r_block, window)
+
+    return WindowedDenseGraph(
+        a_dense=jnp.asarray(a, dtype=dtype),
+        w_start=jnp.asarray(w_start, jnp.int32),
+        num_nodes=n, num_nodes_padded=n_padded, r_block=r_block,
+        num_edges=e)
+
+
 def partition_edges(graph: COOGraph, num_partitions: int
                     ) -> Tuple[COOGraph, ...]:
     """Split the edge list into contiguous shards (for edge-partitioned

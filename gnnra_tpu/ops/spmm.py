@@ -30,8 +30,10 @@ from typing import Literal
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
-from gnnra_tpu.graph import BlockedGraph, COOGraph, TwoLevelBlockedGraph
+from gnnra_tpu.graph import (BlockedGraph, COOGraph, PagedCellGraph,
+                             TwoLevelBlockedGraph)
 
 Impl = Literal["jnp", "pallas", "pallas_interpret"]
 
@@ -262,6 +264,345 @@ def make_weighted_spmm(fwd_blocked: BlockedGraph, bwd_blocked: BlockedGraph,
         dw = jnp.zeros((e_orig + 1,), w.dtype).at[
             fwd_blocked.edge_ids.reshape(-1)].add(scores.reshape(-1))
         return dh, dw[:e_orig]
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+# ---------------------------------------------------------------------------
+# Paged-cell fused gather+reduce SpMM (geometric / BFS-ordered topologies)
+# ---------------------------------------------------------------------------
+
+def _paged_kernel(chunk_ids_ref, block_ids_ref, first_ref,
+                  senders_ref, recv_ref, w_ref, h_ref, out_ref):
+    """One grid step = one edge page.
+
+    The sender chunk for this page is already in VMEM (h_ref, BlockSpec-
+    indexed by the prefetched chunk id); message rows are gathered from it
+    with a one-hot MXU matmul, weighted on the VPU, and reduced into the
+    VMEM-resident output block with a second one-hot matmul. The [E, F]
+    message tensor never exists in HBM — the round trip that is ~2/3 of the
+    unfused kernel's traffic (docs/RESULTS.md).
+
+    h_ref: [CHUNK, F]; senders/recv/w: [1, PAGE]; out_ref: [R_BLOCK, F] f32.
+    """
+    p = pl.program_id(0)
+    del chunk_ids_ref, block_ids_ref                  # consumed by index maps
+    s_local = senders_ref[0, 0, :]                    # [PG]
+    r_local = recv_ref[0, 0, :]                       # [PG]
+    w = w_ref[0, 0, :]                                # [PG]
+    h = h_ref[:]                                      # [S, F]
+    pg = s_local.shape[0]
+    s = h.shape[0]
+    r = out_ref.shape[0]
+    # Mosaic supports DEFAULT (bf16 multiply) and HIGHEST (fp32 contract)
+    # only; f32 inputs must use HIGHEST to keep f32 accuracy through the
+    # one-hot matmuls. This kernel is MXU-bound, so the fast path is bf16
+    # (the scaled configs' dtype) — f32 pays the multi-pass fp32 rate.
+    precision = (jax.lax.Precision.HIGHEST
+                 if h.dtype == jnp.float32 else None)
+
+    s_ids = jax.lax.broadcasted_iota(jnp.int32, (pg, s), 1)
+    onehot_s = (s_local[:, None] == s_ids).astype(h.dtype)
+    msgs = jax.lax.dot_general(
+        onehot_s, h, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)  # [PG, F]
+    msgs = msgs * w[:, None]
+    msgs = msgs.astype(h.dtype)
+
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, (pg, r), 1)
+    onehot_r = (r_local[:, None] == r_ids).astype(h.dtype)
+    part = jax.lax.dot_general(
+        onehot_r, msgs, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)  # [R, F]
+
+    first = first_ref[p]
+
+    @pl.when(first == 1)
+    def _():
+        out_ref[:] = part
+
+    @pl.when(first == 0)
+    def _():
+        out_ref[:] = out_ref[:] + part
+
+
+def _spmm_paged_pallas(h: jax.Array, paged: PagedCellGraph,
+                       interpret: bool = False) -> jax.Array:
+    from jax.experimental import pallas as pl  # noqa: F811 (local import)
+    from jax.experimental.pallas import tpu as pltpu
+
+    f = h.shape[-1]
+    s = paged.chunk
+    r = paged.r_block
+    pg = paged.page
+    n_pages = paged.num_pages
+    h_pad = jnp.zeros((paged.num_chunks_padded, f), h.dtype
+                      ).at[:h.shape[0]].set(h)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_pages,),
+        in_specs=[
+            # per-page vectors carry a dummy sublane axis so the block shape
+            # meets the TPU (sublane, lane) tiling rules
+            pl.BlockSpec((1, 1, pg), lambda p, ci, bi, ff: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, pg), lambda p, ci, bi, ff: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, pg), lambda p, ci, bi, ff: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, f), lambda p, ci, bi, ff: (ci[p], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r, f), lambda p, ci, bi, ff: (bi[p], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    flops_per_page = 2 * pg * (s + r) * f
+    out = pl.pallas_call(
+        _paged_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((paged.num_nodes_padded, f),
+                                       jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_page * n_pages,
+            bytes_accessed=(n_pages * (s * f * h.dtype.itemsize + pg * 12)
+                            + paged.num_nodes_padded * f * 4),
+            transcendentals=0),
+        interpret=interpret,
+    )(paged.chunk_ids, paged.block_ids, paged.first_flags,
+      paged.senders[:, None, :], paged.recv_local[:, None, :],
+      paged.weights[:, None, :], h_pad)
+    return out[:paged.num_nodes].astype(h.dtype)
+
+
+def _spmm_paged_jnp(h: jax.Array, paged: PagedCellGraph) -> jax.Array:
+    """Vectorized jnp oracle/fallback for the paged kernel (same math)."""
+    f = h.shape[-1]
+    s = paged.chunk
+    r = paged.r_block
+    h_pad = jnp.zeros((paged.num_chunks_padded, f), h.dtype
+                      ).at[:h.shape[0]].set(h)
+    chunks = h_pad.reshape(-1, s, f)
+    hsel = chunks[paged.chunk_ids]                       # [P, S, F]
+    msgs = jnp.take_along_axis(
+        hsel, paged.senders[:, :, None], axis=1)          # [P, PG, F]
+    msgs = msgs.astype(jnp.float32) * paged.weights[:, :, None]
+    num_blocks = paged.num_nodes_padded // r
+    out = jnp.zeros((num_blocks, r, f), jnp.float32)
+    out = out.at[paged.block_ids[:, None, None],
+                 paged.recv_local[:, :, None],
+                 jnp.arange(f)[None, None, :]].add(msgs)
+    return out.reshape(-1, f)[:paged.num_nodes].astype(h.dtype)
+
+
+def spmm_paged(h: jax.Array, paged: PagedCellGraph,
+               impl: Impl = "pallas") -> jax.Array:
+    """Fused-gather SpMM over a `graph.PagedCellGraph`.
+
+    For geometric/BFS-ordered topologies (narrow sender windows per
+    receiver block) this eliminates the [E, F] HBM message round trip of
+    `spmm_blocked` entirely: the gather happens on the MXU from a VMEM-
+    resident sender chunk. Semantics identical to `spmm_coo` on the same
+    edges (reference aggregation semantics: BS_brain.py:69-76).
+    """
+    if impl == "jnp":
+        return _spmm_paged_jnp(h, paged)
+    return _spmm_paged_pallas(h, paged, interpret=(impl == "pallas_interpret"))
+
+
+def make_spmm_paged(fwd_paged: PagedCellGraph, bwd_paged: PagedCellGraph,
+                    impl: Impl = "pallas"):
+    """Differentiable paged SpMM closed over (forward, transposed) layouts;
+    the backward is the same fused kernel on the transposed graph
+    (dL/dh[s] = sum_{e: send_e = s} w_e g[recv_e])."""
+
+    @jax.custom_vjp
+    def spmm(h):
+        return spmm_paged(h, fwd_paged, impl)
+
+    def fwd(h):
+        return spmm(h), None
+
+    def bwd(_, g):
+        return (spmm_paged(g, bwd_paged, impl),)
+
+    spmm.defvjp(fwd, bwd)
+    return spmm
+
+
+# ---------------------------------------------------------------------------
+# Windowed-dense SpMM (geometric / BFS-ordered topologies, moderate N)
+# ---------------------------------------------------------------------------
+
+def _windowed_kernel(wstart_ref, a_ref, h_hbm, out_ref, h_win, sems):
+    """One grid step = one receiver block: out_block = A_block @ h_window.
+
+    A tiles stream through the auto-pipelined BlockSpec; the h window (whose
+    start `wstart_ref[b]` is an arbitrary row, beyond BlockSpec's aligned
+    indexing) is DMA'd manually with cross-step double buffering: step b
+    issues the copy for block b+1's window into the other slot, then waits
+    on its own. No gather exists anywhere — both operands are sequential
+    reads, and the matmul is exactly MXU-shaped.
+
+    a_ref: [R, W] (2-D A rows — 3-D (1, R, W) bf16 blocks stream ~5x
+    slower, see WindowedDenseGraph); h_hbm: [N_pad, F] (ANY/HBM);
+    out_ref: [R, F] f32;
+    h_win: [2, W, F] VMEM scratch; sems: 2 DMA semaphores.
+    """
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    w = h_win.shape[1]
+
+    def dma(i):
+        from jax.experimental.pallas import tpu as pltpu
+        start = pl.multiple_of(wstart_ref[i], 8)   # host aligns starts to 8
+        return pltpu.make_async_copy(
+            h_hbm.at[pl.ds(start, w), :],
+            h_win.at[jax.lax.rem(i, 2)],
+            sems.at[jax.lax.rem(i, 2)])
+
+    @pl.when(b == 0)
+    def _():
+        dma(0).start()
+
+    @pl.when(b + 1 < nb)
+    def _():
+        dma(b + 1).start()
+
+    dma(b).wait()
+    a = a_ref[:]                                          # [R, W]
+    h = h_win[jax.lax.rem(b, 2)]                          # [W, F]
+    precision = (jax.lax.Precision.HIGHEST
+                 if a.dtype == jnp.float32 else None)
+    out_ref[:] = jax.lax.dot_general(
+        a, h, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+
+
+def _pad_rows(h: jax.Array, rows: int) -> jax.Array:
+    if h.shape[0] >= rows:
+        return h
+    return jnp.zeros((rows, h.shape[1]), h.dtype).at[:h.shape[0]].set(h)
+
+
+def _spmm_windowed_pallas(h: jax.Array, wd, interpret: bool = False
+                          ) -> jax.Array:
+    from jax.experimental.pallas import tpu as pltpu
+
+    f = h.shape[-1]
+    r = wd.r_block
+    w = wd.window
+    nb = wd.num_blocks
+    h = h.astype(wd.a_dense.dtype)
+    h_pad = _pad_rows(h, max(wd.num_nodes_padded, w))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((r, w), lambda b, ws: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((r, f), lambda b, ws: (b, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, w, f), h.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _windowed_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((wd.num_nodes_padded, f), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * r * w * f,
+            bytes_accessed=(wd.a_dense.size * wd.a_dense.dtype.itemsize
+                            + nb * w * f * h.dtype.itemsize
+                            + wd.num_nodes_padded * f * 4),
+            transcendentals=0),
+        interpret=interpret,
+    )(wd.w_start, wd.a_dense, h_pad)
+    return out[:wd.num_nodes]
+
+
+def _spmm_windowed_jnp(h: jax.Array, wd) -> jax.Array:
+    """Vectorized jnp oracle/fallback (same math as the kernel)."""
+    f = h.shape[-1]
+    w = wd.window
+    h_pad = _pad_rows(h.astype(wd.a_dense.dtype),
+                      max(wd.num_nodes_padded, w))
+    idx = wd.w_start[:, None] + jnp.arange(w)[None, :]    # [B, W]
+    h_win = h_pad[idx]                                    # [B, W, F]
+    a3 = wd.a_dense.reshape(wd.num_blocks, wd.r_block, w)
+    out = jnp.einsum("brw,bwf->brf", a3, h_win,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(-1, f)[:wd.num_nodes]
+
+
+def spmm_windowed(h: jax.Array, wd, impl: Impl = "pallas") -> jax.Array:
+    """SpMM over a `graph.WindowedDenseGraph`: one dense MXU matmul per
+    receiver block against its BFS sender window — zero gathers, fully
+    sequential HBM traffic. Returns [N, F] float32 (cast as needed).
+
+    Semantics match `spmm_coo` on the same edges (reference aggregation:
+    BS_brain.py:69-76); inputs are computed in the layout's dtype (bf16
+    default — see `graph.window_dense`).
+    """
+    if impl == "jnp":
+        return _spmm_windowed_jnp(h, wd)
+    return _spmm_windowed_pallas(h, wd, interpret=(impl == "pallas_interpret"))
+
+
+def make_spmm_windowed(fwd_wd, bwd_wd, impl: Impl = "pallas"):
+    """Differentiable windowed-dense SpMM closed over (forward, transposed)
+    layouts; the backward runs the same kernel on the transposed graph
+    (whose windows are equally narrow under a BFS order — the edge set is
+    symmetric in ordering distance)."""
+
+    @jax.custom_vjp
+    def spmm(h):
+        return spmm_windowed(h, fwd_wd, impl)
+
+    def fwd(h):
+        # residual = zero-size token carrying h's dtype (the cotangent must
+        # match it; a bare dtype is not a valid JAX residual)
+        return spmm(h), jnp.zeros((0,), h.dtype)
+
+    def bwd(tok, g):
+        return (spmm_windowed(g, bwd_wd, impl).astype(tok.dtype),)
+
+    spmm.defvjp(fwd, bwd)
+    return spmm
+
+
+def make_spmm_windowed_call(impl: Impl = "pallas"):
+    """Differentiable windowed-dense SpMM taking the layouts as ARGUMENTS:
+    f(h, fwd_wd, bwd_wd) -> [N, F] f32. Like `make_spmm_call`, this keeps
+    the multi-100MB A tiles out of the HLO constant pool (closing over them
+    exceeds remote-compile transport limits — observed HTTP 413)."""
+
+    @jax.custom_vjp
+    def f(h, fwd_wd, bwd_wd):
+        del bwd_wd
+        return spmm_windowed(h, fwd_wd, impl)
+
+    def fwd(h, fwd_wd, bwd_wd):
+        return f(h, fwd_wd, bwd_wd), (jnp.zeros((0,), h.dtype), fwd_wd,
+                                      bwd_wd)
+
+    def _zeros_like_tree(tree):
+        import numpy as _np
+        return jax.tree.map(
+            lambda x: (jnp.zeros(x.shape, x.dtype)
+                       if jnp.issubdtype(x.dtype, jnp.floating)
+                       else _np.zeros(x.shape, jax.dtypes.float0)), tree)
+
+    def bwd(res, g):
+        tok, fwd_wd, bwd_wd = res
+        dh = spmm_windowed(g, bwd_wd, impl).astype(tok.dtype)
+        return dh, _zeros_like_tree(fwd_wd), _zeros_like_tree(bwd_wd)
 
     f.defvjp(fwd, bwd)
     return f

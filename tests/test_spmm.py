@@ -332,3 +332,141 @@ class TestNeighborSampling:
             num = (loss(hp, fd.weights) - loss(hm, fd.weights)) / (2 * eps)
             np.testing.assert_allclose(float(dh[idx]), float(num),
                                        rtol=2e-2, atol=1e-3)
+
+
+def geo_bfs_graph(seed=0, n=2000, deg=8.0, weighted=False):
+    _, g = graph_lib.geometric_interference_graph(seed, n, target_degree=deg)
+    if weighted:
+        g = graph_lib.COOGraph(
+            senders=g.senders, receivers=g.receivers,
+            weights=jax.random.uniform(jax.random.PRNGKey(seed + 1),
+                                       (g.num_edges,)),
+            num_nodes=g.num_nodes)
+    gb, _ = graph_lib.reorder_nodes(g, "bfs")
+    return gb
+
+
+class TestGeometricGraph:
+    def test_generator_properties(self):
+        pos, g = graph_lib.geometric_interference_graph(0, 1000,
+                                                        target_degree=8)
+        assert pos.shape == (1000, 2)
+        deg = g.num_edges / 1000
+        assert 4 < deg < 16            # one adjustment pass lands near target
+        s = np.asarray(g.senders)
+        r = np.asarray(g.receivers)
+        assert np.all(s != r)
+        # undirected: every edge present in both directions
+        fwd = set(zip(s.tolist(), r.tolist()))
+        assert all((b, a) in fwd for a, b in list(fwd)[:100])
+
+    def test_bfs_narrows_windows(self):
+        g = geo_bfs_graph()
+        s = np.asarray(g.senders)
+        r = np.asarray(g.receivers)
+        bid = r // 128
+        spans = []
+        for b in range(g.num_nodes // 128):
+            m = bid == b
+            if m.any():
+                spans.append(s[m].max() - s[m].min())
+        # BFS ordering keeps sender windows narrow (vs ~N for random order)
+        assert np.median(spans) < g.num_nodes // 4
+
+
+class TestPagedSpmm:
+    @pytest.mark.parametrize("weighted", [False, True])
+    def test_matches_oracle(self, weighted):
+        g = geo_bfs_graph(weighted=weighted)
+        paged = graph_lib.page_cells(g, r_block=128, chunk=128, page=256)
+        h = jax.random.normal(jax.random.PRNGKey(2), (g.num_nodes, 64))
+        want = np.asarray(spmm.spmm_coo(h, g))
+        got = np.asarray(spmm.spmm_paged(h, paged, impl="jnp"))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        got_k = np.asarray(spmm.spmm_paged(h, paged,
+                                           impl="pallas_interpret"))
+        np.testing.assert_allclose(got_k, want, rtol=1e-4, atol=1e-4)
+
+    def test_every_block_visited(self):
+        # a graph with an edge-free receiver block still zero-fills its rows
+        g = graph_lib.COOGraph(
+            senders=jnp.asarray([0, 1], jnp.int32),
+            receivers=jnp.asarray([1, 0], jnp.int32),
+            weights=jnp.ones((2,)), num_nodes=300)
+        paged = graph_lib.page_cells(g, r_block=128, chunk=128, page=8)
+        h = jnp.ones((300, 8))
+        out = np.asarray(spmm.spmm_paged(h, paged, impl="jnp"))
+        assert out.shape == (300, 8)
+        np.testing.assert_allclose(out[128:], 0.0)
+
+    def test_grad_matches_segment_sum(self):
+        g = geo_bfs_graph(weighted=True)
+        fwd = graph_lib.page_cells(g, 128, 128, 256)
+        bwd = graph_lib.page_cells(g.transpose(), 128, 128, 256)
+        op = spmm.make_spmm_paged(fwd, bwd, impl="jnp")
+        h = jax.random.normal(jax.random.PRNGKey(3), (g.num_nodes, 32))
+        gout = jax.random.normal(jax.random.PRNGKey(4), (g.num_nodes, 32))
+        dh = jax.vjp(op, h)[1](gout)[0]
+        dh_ref = jax.vjp(lambda x: spmm.spmm_coo(x, g), h)[1](gout)[0]
+        np.testing.assert_allclose(np.asarray(dh), np.asarray(dh_ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestWindowedDenseSpmm:
+    @pytest.mark.parametrize("weighted", [False, True])
+    def test_matches_oracle(self, weighted):
+        g = geo_bfs_graph(weighted=weighted)
+        wd = graph_lib.window_dense(g, r_block=128, window=512,
+                                    dtype=jnp.float32)
+        h = jax.random.normal(jax.random.PRNGKey(2), (g.num_nodes, 64))
+        want = np.asarray(spmm.spmm_coo(h, g))
+        got = np.asarray(spmm.spmm_windowed(h, wd, impl="jnp"))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+        got_k = np.asarray(spmm.spmm_windowed(h, wd,
+                                              impl="pallas_interpret"))
+        np.testing.assert_allclose(got_k, want, rtol=1e-4, atol=1e-4)
+
+    def test_window_overflow_raises(self):
+        _, g = graph_lib.geometric_interference_graph(0, 2000,
+                                                      target_degree=8)
+        with pytest.raises(ValueError, match="span"):
+            graph_lib.window_dense(g, r_block=128, window=512)
+
+    def test_duplicate_edges_accumulate(self):
+        g = graph_lib.COOGraph(
+            senders=jnp.asarray([3, 3, 5], jnp.int32),
+            receivers=jnp.asarray([7, 7, 7], jnp.int32),
+            weights=jnp.asarray([2.0, 0.5, 1.0]), num_nodes=16)
+        wd = graph_lib.window_dense(g, r_block=8, window=16,
+                                    dtype=jnp.float32)
+        h = jnp.eye(16)
+        out = np.asarray(spmm.spmm_windowed(h, wd, impl="jnp"))
+        assert out[7, 3] == pytest.approx(2.5)
+        assert out[7, 5] == pytest.approx(1.0)
+
+    def test_grad_matches_segment_sum(self):
+        g = geo_bfs_graph(weighted=True)
+        fwd = graph_lib.window_dense(g, 128, 512, dtype=jnp.float32)
+        bwd = graph_lib.window_dense(g.transpose(), 128, 512,
+                                     dtype=jnp.float32)
+        op = spmm.make_spmm_windowed(fwd, bwd, impl="jnp")
+        h = jax.random.normal(jax.random.PRNGKey(3), (g.num_nodes, 32))
+        gout = jax.random.normal(jax.random.PRNGKey(4), (g.num_nodes, 32))
+        dh = jax.vjp(op, h)[1](gout)[0]
+        dh_ref = jax.vjp(lambda x: spmm.spmm_coo(x, g), h)[1](gout)[0]
+        np.testing.assert_allclose(np.asarray(dh), np.asarray(dh_ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_call_style_grad(self):
+        g = geo_bfs_graph(weighted=True)
+        fwd = graph_lib.window_dense(g, 128, 512, dtype=jnp.float32)
+        bwd = graph_lib.window_dense(g.transpose(), 128, 512,
+                                     dtype=jnp.float32)
+        op = spmm.make_spmm_windowed_call(impl="jnp")
+        h = jax.random.normal(jax.random.PRNGKey(3), (g.num_nodes, 16))
+        loss = lambda x, f_, b_: jnp.sum(op(x, f_, b_) ** 2)
+        dh = jax.grad(loss, argnums=0)(h, fwd, bwd)
+        ref = lambda x: jnp.sum(spmm.spmm_coo(x, g) ** 2)
+        dh_ref = jax.grad(ref)(h)
+        np.testing.assert_allclose(np.asarray(dh), np.asarray(dh_ref),
+                                   rtol=1e-4, atol=1e-4)
