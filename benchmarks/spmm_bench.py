@@ -139,7 +139,14 @@ def main(argv=None):
     report(f"spmm_sampled_k{k}_fwd", n * k, t_fd)
     fd_fb = jax.grad(lambda h: jnp.sum(spmm.spmm_fixed_degree(h, fd) * h))
     t_fdg = bench(fd_fb, h, iters=args.iters)
-    report(f"spmm_sampled_k{k}_fwdbwd", n * k, t_fdg)
+    report(f"spmm_sampled_k{k}_fwdbwd_xla_scatter", n * k, t_fdg)
+    # blocked backward: 1-D weight scatter + full-transpose Pallas kernel
+    sampled_op = spmm.make_spmm_sampled(bwd_b, impl="pallas")
+    fd_fb_blk = jax.grad(lambda h, fd: jnp.sum(sampled_op(h, fd) * h),
+                         argnums=0)
+    t_fdgb = bench(fd_fb_blk, h, iters=args.iters, data=(fd,))
+    report(f"spmm_sampled_k{k}_fwdbwd_blocked", n * k, t_fdgb,
+           baseline_seconds=t_fdg)
 
     h16 = h.astype(jnp.bfloat16)
     t_p16 = bench(lambda h: spmm.spmm_blocked(h, fwd_b, impl="pallas"), h16,

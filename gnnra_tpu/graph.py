@@ -379,6 +379,7 @@ class CSRGraph:
     offsets: jax.Array     # [N+1] int32
     senders: jax.Array     # [E] int32 (sorted by receiver)
     weights: jax.Array     # [E] float32
+    edge_ids: jax.Array    # [E] int32 original COO edge id per CSR slot
     num_nodes: int = dataclasses.field(metadata=dict(static=True))
 
     @property
@@ -397,6 +398,10 @@ class FixedDegreeGraph:
 
     senders: jax.Array     # [N, K] int32 (self-pointing slots have weight 0)
     weights: jax.Array     # [N, K] float32; d/K importance scaling included
+    # original COO edge id per sampled slot (degree-0 slots -> E sentinel);
+    # lets the blocked-transpose backward accumulate sampled weights per
+    # edge (ops.spmm.make_spmm_sampled)
+    edge_ids: jax.Array    # [N, K] int32
     num_nodes: int = dataclasses.field(metadata=dict(static=True))
 
     @property
@@ -417,6 +422,7 @@ def to_csr(graph: COOGraph) -> CSRGraph:
     return CSRGraph(offsets=jnp.asarray(offsets),
                     senders=jnp.asarray(senders[order]),
                     weights=jnp.asarray(weights[order]),
+                    edge_ids=jnp.asarray(order.astype(np.int32)),
                     num_nodes=n)
 
 
@@ -443,7 +449,10 @@ def sample_neighbors(key: jax.Array, csr: CSRGraph, k: int
     w = jnp.where(degs[:, None] > 0, w, 0.0)
     senders = jnp.where(degs[:, None] > 0, senders,
                         jnp.arange(n, dtype=jnp.int32)[:, None])
-    return FixedDegreeGraph(senders=senders, weights=w, num_nodes=n)
+    edge_ids = jnp.where(degs[:, None] > 0, csr.edge_ids[pick],
+                         jnp.int32(csr.num_edges))
+    return FixedDegreeGraph(senders=senders, weights=w, edge_ids=edge_ids,
+                            num_nodes=n)
 
 
 def geometric_interference_graph(seed: int, num_nodes: int,

@@ -630,6 +630,58 @@ def spmm_fixed_degree(h: jax.Array, fd) -> jax.Array:
                       preferred_element_type=jnp.float32).astype(h.dtype)
 
 
+def make_spmm_sampled(bwd_blocked: BlockedGraph, impl: Impl = "pallas"):
+    """Differentiable sampled SpMM with a BLOCKED backward:
+    f(h, fd) -> [N, F], fd a fresh `graph.sample_neighbors` draw per call.
+
+    `spmm_fixed_degree`'s native VJP scatter-adds [N, K] full feature rows
+    (dL/dh[s] += w*g[r] per sampled slot) — an XLA scatter that made the
+    sampled TRAINING path slower than not sampling (docs/RESULTS.md:
+    0.054 vs 0.112 Gedges/s). Here the backward instead:
+
+      1. accumulates the draw's sampled weights per ORIGINAL edge id with
+         one 1-D scalar scatter (4 bytes/slot instead of 4F — fd.edge_ids
+         maps sampled slots to COO edge ids through the CSR build), then
+      2. runs the full graph's blocked-TRANSPOSE Pallas kernel with those
+         accumulated weights (`bwd_blocked.edge_ids` gathers them into
+         layout slots; padding reads the zero sentinel).
+
+    This is exact (multi-sampled edges accumulate), static-shape, and
+    entirely on-device per draw. Cotangents for fd are zero — sampling
+    weights are the fixed d/K importance scalings, not parameters.
+    """
+    e_orig = bwd_blocked.num_edges
+
+    @jax.custom_vjp
+    def f(h, fd):
+        return spmm_fixed_degree(h, fd)
+
+    def fwd(h, fd):
+        return f(h, fd), (jnp.zeros((0,), h.dtype), fd)
+
+    def bwd(res, g):
+        tok, fd = res
+        wsum = jnp.zeros((e_orig + 1,), jnp.float32).at[
+            fd.edge_ids.reshape(-1)].add(fd.weights.reshape(-1))
+        wsum = wsum.at[e_orig].set(0.0)           # degree-0/self sentinel
+        bl = BlockedGraph(
+            senders=bwd_blocked.senders, recv_local=bwd_blocked.recv_local,
+            weights=wsum[bwd_blocked.edge_ids],
+            edge_ids=bwd_blocked.edge_ids, num_nodes=bwd_blocked.num_nodes,
+            num_nodes_padded=bwd_blocked.num_nodes_padded,
+            r_block=bwd_blocked.r_block, num_edges=e_orig)
+        dh = spmm_blocked(g.astype(tok.dtype), bl, impl)
+        zero_fd = jax.tree.map(
+            lambda x: (jnp.zeros(x.shape, x.dtype)
+                       if jnp.issubdtype(x.dtype, jnp.floating)
+                       else __import__("numpy").zeros(x.shape,
+                                                      jax.dtypes.float0)), fd)
+        return dh.astype(tok.dtype), zero_fd
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 # ---------------------------------------------------------------------------
 # SDDMM
 # ---------------------------------------------------------------------------

@@ -286,8 +286,9 @@ class TestNeighborSampling:
         # build the K=6 fixed-degree layout: every node attends all nodes
         senders = jnp.broadcast_to(jnp.arange(6, dtype=jnp.int32), (6, 6))
         weights = jnp.asarray(dense.T)                  # [r, s] = w(s->r)
-        fd = graph_lib.FixedDegreeGraph(senders=senders, weights=weights,
-                                        num_nodes=6)
+        fd = graph_lib.FixedDegreeGraph(
+            senders=senders, weights=weights,
+            edge_ids=jnp.zeros((6, 6), jnp.int32), num_nodes=6)
         h = jax.random.normal(jax.random.PRNGKey(3), (6, 16))
         got = spmm.spmm_fixed_degree(h, fd)
         want = spmm.spmm_coo(h, g)
@@ -320,6 +321,7 @@ class TestNeighborSampling:
 
         def loss(h, w):
             fd2 = graph_lib.FixedDegreeGraph(senders=fd.senders, weights=w,
+                                             edge_ids=fd.edge_ids,
                                              num_nodes=50)
             return jnp.sum(jnp.sin(spmm.spmm_fixed_degree(h, fd2)))
 
@@ -470,3 +472,39 @@ class TestWindowedDenseSpmm:
         dh_ref = jax.grad(ref)(h)
         np.testing.assert_allclose(np.asarray(dh), np.asarray(dh_ref),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestSampledBlockedBackward:
+    def test_grad_matches_native_vjp(self):
+        g = make_graph(n=300, e=3000, weighted=True)
+        csr = graph_lib.to_csr(g)
+        fd = graph_lib.sample_neighbors(jax.random.PRNGKey(7), csr, 8)
+        bwd_blocked = graph_lib.block_by_receiver(g.transpose(), r_block=64)
+        op = spmm.make_spmm_sampled(bwd_blocked, impl="jnp")
+        h = jax.random.normal(jax.random.PRNGKey(8), (300, 32))
+        gout = jax.random.normal(jax.random.PRNGKey(9), (300, 32))
+        dh = jax.vjp(lambda x: op(x, fd), h)[1](gout)[0]
+        # oracle: spmm_fixed_degree's native XLA scatter-add VJP
+        dh_ref = jax.vjp(lambda x: spmm.spmm_fixed_degree(x, fd), h)[1](
+            gout)[0]
+        np.testing.assert_allclose(np.asarray(dh), np.asarray(dh_ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_grad_with_zero_degree_nodes(self):
+        # node 5 has no in-edges: its sampled slots are self-pointing with
+        # weight 0 and sentinel edge ids; grads must ignore them
+        g = graph_lib.COOGraph(
+            senders=jnp.asarray([0, 1, 2], jnp.int32),
+            receivers=jnp.asarray([1, 2, 0], jnp.int32),
+            weights=jnp.ones((3,)), num_nodes=6)
+        csr = graph_lib.to_csr(g)
+        fd = graph_lib.sample_neighbors(jax.random.PRNGKey(1), csr, 4)
+        bwd_blocked = graph_lib.block_by_receiver(g.transpose(), r_block=8)
+        op = spmm.make_spmm_sampled(bwd_blocked, impl="jnp")
+        h = jax.random.normal(jax.random.PRNGKey(2), (6, 8))
+        gout = jnp.ones((6, 8))
+        dh = jax.vjp(lambda x: op(x, fd), h)[1](gout)[0]
+        dh_ref = jax.vjp(lambda x: spmm.spmm_fixed_degree(x, fd), h)[1](
+            gout)[0]
+        np.testing.assert_allclose(np.asarray(dh), np.asarray(dh_ref),
+                                   rtol=1e-5, atol=1e-5)
