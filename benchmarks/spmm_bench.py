@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def bench(op, h, iters=20, data=()):
@@ -178,16 +179,34 @@ def main(argv=None):
         report(f"spmm_fwd_pallas_2lvl_c{c}_bf16", e, t_tl16,
                baseline_seconds=t_p)
 
+    # ring-program overhead at D=1: the GSPMD ring program on a single chip
+    # vs the plain local kernel — the fixed cost the multi-host ring pays
+    # before any communication wins. (The shard_map ring is NOT benched on
+    # TPU: on this runtime every computation inside a shard_map body runs
+    # ~20x slower than the identical jit'd computation — docs/RESULTS.md.)
+    from gnnra_tpu.parallel import graph_parallel
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    m1 = Mesh(np.array(jax.devices()[:1]), ("data",))
+    part1 = graph_parallel.partition_for_ring(g, num_devices=1,
+                                              r_block=args.r_block)
+    ring1 = graph_parallel.make_ring_spmm_gspmd(m1, part1)
+    n_pad1 = part1.nodes_per_device
+    sh1 = NamedSharding(m1, P("data"))
+    h_pad1 = jax.device_put(
+        jnp.zeros((n_pad1, f)).at[:n].set(h), sh1)
+    t_r1 = bench(lambda hp: ring1(hp), h_pad1, iters=args.iters)
+    report("spmm_ring_gspmd_1dev_overhead", e, t_r1, baseline_seconds=t_p)
+
     if jax.device_count() > 1:
-        from gnnra_tpu.parallel import graph_parallel, mesh as mesh_lib
+        from gnnra_tpu.parallel import mesh as mesh_lib
         m = mesh_lib.make_mesh()
         d = m.devices.size
         part = graph_parallel.partition_for_ring(g, num_devices=d)
         n_pad = part.num_devices * part.nodes_per_device
-        ring = graph_parallel.make_ring_spmm(m, part, f, impl="pallas")
+        ring = graph_parallel.make_ring_spmm_gspmd(m, part)
         h_pad = jnp.zeros((n_pad, f)).at[:n].set(h)
         t_r = bench(lambda hp: ring(hp), h_pad, iters=args.iters)
-        report(f"spmm_ring_{d}dev", e, t_r, baseline_seconds=t_p)
+        report(f"spmm_ring_gspmd_{d}dev", e, t_r, baseline_seconds=t_p)
 
 
 if __name__ == "__main__":

@@ -15,15 +15,6 @@
 
 extern "C" {
 
-// Count edges per receiver block. counts must hold num_blocks zeros.
-void count_receiver_blocks(const int32_t* receivers, int64_t num_edges,
-                           int32_t r_block, int32_t num_blocks,
-                           int64_t* counts) {
-  for (int64_t e = 0; e < num_edges; ++e) {
-    ++counts[receivers[e] / r_block];
-  }
-}
-
 // Fill the blocked layout in one stable pass.
 // out_senders/out_recv_local/out_weights are [num_blocks, e_block],
 // pre-zeroed; out_edge_ids pre-filled with the padding id (num_edges).
@@ -48,17 +39,50 @@ int32_t fill_receiver_blocks(const int32_t* senders, const int32_t* receivers,
   return 0;
 }
 
-// Bucket edges by (receiver chunk, sender chunk) for the ring partition:
-// writes each edge's flat bucket id (d * num_devices + o). Also counts per
-// bucket (counts must hold num_devices^2 zeros).
-void count_ring_buckets(const int32_t* senders, const int32_t* receivers,
-                        int64_t num_edges, int32_t nodes_per_device,
-                        int32_t num_devices, int64_t* counts) {
+// Ring-partition preprocessing (parallel/graph_parallel.partition_for_ring):
+// edges bucket by (receiver chunk d, sender chunk o, receiver block b); the
+// blocked layout stacks to [D, D, B, e_block]. One O(E) counting pass...
+// counts must hold D*D*B zeros.
+void count_ring_cells(const int32_t* senders, const int32_t* receivers,
+                      int64_t num_edges, int32_t nodes_per_device,
+                      int32_t num_devices, int32_t r_block,
+                      int64_t* counts) {
+  const int64_t blocks = nodes_per_device / r_block;
   for (int64_t e = 0; e < num_edges; ++e) {
-    const int32_t d = receivers[e] / nodes_per_device;
-    const int32_t o = senders[e] / nodes_per_device;
-    ++counts[static_cast<int64_t>(d) * num_devices + o];
+    const int64_t d = receivers[e] / nodes_per_device;
+    const int64_t o = senders[e] / nodes_per_device;
+    const int64_t b = (receivers[e] - d * nodes_per_device) / r_block;
+    ++counts[(d * num_devices + o) * blocks + b];
   }
+}
+
+// ...and one O(E) stable fill pass. out_* are [D, D, B, e_block],
+// pre-zeroed. Sender/receiver ids become chunk-/block-local. Returns 0 on
+// success, -1 on cell overflow.
+int32_t fill_ring_cells(const int32_t* senders, const int32_t* receivers,
+                        const float* weights, int64_t num_edges,
+                        int32_t nodes_per_device, int32_t num_devices,
+                        int32_t r_block, int32_t e_block,
+                        int32_t* out_senders, int32_t* out_recv_local,
+                        float* out_weights) {
+  const int64_t blocks = nodes_per_device / r_block;
+  std::vector<int32_t> fill(
+      static_cast<int64_t>(num_devices) * num_devices * blocks, 0);
+  for (int64_t e = 0; e < num_edges; ++e) {
+    const int64_t d = receivers[e] / nodes_per_device;
+    const int64_t o = senders[e] / nodes_per_device;
+    const int64_t b = (receivers[e] - d * nodes_per_device) / r_block;
+    const int64_t cell = (d * num_devices + o) * blocks + b;
+    const int32_t slot = fill[cell]++;
+    if (slot >= e_block) return -1;
+    const int64_t idx = cell * e_block + slot;
+    out_senders[idx] = senders[e] - static_cast<int32_t>(o) * nodes_per_device;
+    out_recv_local[idx] = receivers[e] -
+        static_cast<int32_t>(d) * nodes_per_device -
+        static_cast<int32_t>(b) * r_block;
+    out_weights[idx] = weights[e];
+  }
+  return 0;
 }
 
 }  // extern "C"

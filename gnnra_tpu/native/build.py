@@ -45,16 +45,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
         i32p = ctypes.POINTER(ctypes.c_int32)
         i64p = ctypes.POINTER(ctypes.c_int64)
         f32p = ctypes.POINTER(ctypes.c_float)
-        lib.count_receiver_blocks.argtypes = [
-            i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, i64p]
-        lib.count_receiver_blocks.restype = None
         lib.fill_receiver_blocks.argtypes = [
             i32p, i32p, f32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, i32p, i32p, f32p, i32p]
         lib.fill_receiver_blocks.restype = ctypes.c_int32
-        lib.count_ring_buckets.argtypes = [
-            i32p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, i64p]
-        lib.count_ring_buckets.restype = None
+        lib.count_ring_cells.argtypes = [
+            i32p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, i64p]
+        lib.count_ring_cells.restype = None
+        lib.fill_ring_cells.argtypes = [
+            i32p, i32p, f32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, i32p, i32p, f32p]
+        lib.fill_ring_cells.restype = ctypes.c_int32
         _LIB = lib
         return _LIB
 

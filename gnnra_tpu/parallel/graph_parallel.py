@@ -19,8 +19,6 @@ Two modes:
 from __future__ import annotations
 
 import dataclasses
-from typing import List
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -51,57 +49,82 @@ class RingPartition:
 
 
 def partition_for_ring(graph: graph_lib.COOGraph, num_devices: int,
-                       r_block: int = 128) -> RingPartition:
+                       r_block: int = 128,
+                       use_native: bool = True) -> RingPartition:
     """Host-side preprocessing: bucket edges by (receiver chunk, sender
-    chunk), then receiver-block each bucket with one uniform edge budget."""
+    chunk, receiver block) and fill the stacked [D, D, B, E] layout.
+
+    One O(E) counting pass + one O(E) stable fill pass — in the native
+    library when available (blocking.cpp count_ring_cells/fill_ring_cells),
+    else two vectorized NumPy passes. (The round-2 implementation built a
+    full-edge boolean mask per (device, chunk) pair — O(E*D^2), minutes at
+    config-5 scale; this preprocesses 10M edges / 8 devices in ~1 s.)
+    """
     n = graph.num_nodes
     per = -(-n // num_devices)
     per = -(-per // r_block) * r_block          # chunk multiple of r_block
-    senders = np.asarray(graph.senders)
-    receivers = np.asarray(graph.receivers)
-    weights = np.asarray(graph.weights)
+    senders = np.ascontiguousarray(np.asarray(graph.senders), np.int32)
+    receivers = np.ascontiguousarray(np.asarray(graph.receivers), np.int32)
+    weights = np.ascontiguousarray(np.asarray(graph.weights), np.float32)
+    e = senders.shape[0]
+    d_count = num_devices
+    blocks = per // r_block
 
-    buckets: List[List[graph_lib.COOGraph]] = []
-    blocked = [[None] * num_devices for _ in range(num_devices)]
-    b_max, e_max = 1, 8
-    for d in range(num_devices):
-        row = []
-        for o in range(num_devices):
-            mask = ((receivers // per == d) & (senders // per == o))
-            sub = graph_lib.COOGraph(
-                senders=jnp.asarray(senders[mask] - o * per, jnp.int32),
-                receivers=jnp.asarray(receivers[mask] - d * per, jnp.int32),
-                weights=jnp.asarray(weights[mask], jnp.float32),
-                num_nodes=per)
-            row.append(sub)
-        buckets.append(row)
-    # uniform blocking so buckets stack: same B and E everywhere
-    for d in range(num_devices):
-        for o in range(num_devices):
-            bl = graph_lib.block_by_receiver(buckets[d][o], r_block=r_block)
-            blocked[d][o] = bl
-            b_max = max(b_max, bl.num_blocks)
-            e_max = max(e_max, bl.e_block)
+    lib = None
+    if use_native:
+        from gnnra_tpu.native import get_lib
+        lib = get_lib()
 
-    def pad(bl: graph_lib.BlockedGraph):
-        def pad_arr(x, fill):
-            out = np.full((b_max, e_max), fill, np.asarray(x).dtype)
-            out[:x.shape[0], :x.shape[1]] = np.asarray(x)
-            return out
-        return (pad_arr(bl.senders, 0), pad_arr(bl.recv_local, 0),
-                pad_arr(bl.weights, 0.0))
+    import ctypes
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f32p = ctypes.POINTER(ctypes.c_float)
 
-    s_all = np.zeros((num_devices, num_devices, b_max, e_max), np.int32)
-    r_all = np.zeros((num_devices, num_devices, b_max, e_max), np.int32)
-    w_all = np.zeros((num_devices, num_devices, b_max, e_max), np.float32)
-    for d in range(num_devices):
-        for o in range(num_devices):
-            s_all[d, o], r_all[d, o], w_all[d, o] = pad(blocked[d][o])
+    if lib is not None:
+        counts = np.zeros(d_count * d_count * blocks, np.int64)
+        lib.count_ring_cells(
+            senders.ctypes.data_as(i32p), receivers.ctypes.data_as(i32p),
+            e, per, d_count, r_block, counts.ctypes.data_as(i64p))
+        e_max = max(8, int(-(-int(counts.max(initial=1)) // 8) * 8))
+        s_all = np.zeros((d_count, d_count, blocks, e_max), np.int32)
+        r_all = np.zeros((d_count, d_count, blocks, e_max), np.int32)
+        w_all = np.zeros((d_count, d_count, blocks, e_max), np.float32)
+        rc = lib.fill_ring_cells(
+            senders.ctypes.data_as(i32p), receivers.ctypes.data_as(i32p),
+            weights.ctypes.data_as(f32p), e, per, d_count, r_block, e_max,
+            s_all.ctypes.data_as(i32p), r_all.ctypes.data_as(i32p),
+            w_all.ctypes.data_as(f32p))
+        assert rc == 0, "native ring fill reported cell overflow"
+    else:
+        d_of = receivers // per
+        o_of = senders // per
+        b_of = (receivers - d_of * per) // r_block
+        cell = (d_of.astype(np.int64) * d_count + o_of) * blocks + b_of
+        n_cells = d_count * d_count * blocks
+        counts = np.bincount(cell, minlength=n_cells)
+        e_max = max(8, int(-(-int(counts.max(initial=1)) // 8) * 8))
+        order = np.argsort(cell, kind="stable")
+        sorted_cells = cell[order]
+        starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        slots = np.arange(e, dtype=np.int64) - starts[sorted_cells]
+        s_all = np.zeros((n_cells, e_max), np.int32)
+        r_all = np.zeros((n_cells, e_max), np.int32)
+        w_all = np.zeros((n_cells, e_max), np.float32)
+        s_all[sorted_cells, slots] = (senders - o_of.astype(np.int32) * per
+                                      )[order]
+        r_all[sorted_cells, slots] = (receivers - d_of.astype(np.int32) * per
+                                      - b_of.astype(np.int32) * r_block
+                                      )[order]
+        w_all[sorted_cells, slots] = weights[order]
+        shape = (d_count, d_count, blocks, e_max)
+        s_all = s_all.reshape(shape)
+        r_all = r_all.reshape(shape)
+        w_all = w_all.reshape(shape)
 
     return RingPartition(senders=jnp.asarray(s_all),
                          recv_local=jnp.asarray(r_all),
                          weights=jnp.asarray(w_all),
-                         num_devices=num_devices, nodes_per_device=per,
+                         num_devices=d_count, nodes_per_device=per,
                          r_block=r_block, num_nodes=n)
 
 
@@ -161,6 +184,70 @@ def make_ring_spmm(mesh: Mesh, part: RingPartition, feature_dim: int,
         return mapped(h, part.senders, part.recv_local, part.weights)
 
     return jax.jit(run)
+
+
+def make_ring_spmm_gspmd(mesh: Mesh, part: RingPartition,
+                         axis: str = "data"):
+    """Ring SpMM expressed in GSPMD (global arrays + sharding annotations)
+    instead of shard_map.
+
+    Measured on the TPU runtime in this environment, EVERY computation
+    inside a shard_map body runs ~20x slower than the identical jit'd
+    computation — even a trivial elementwise op streams at ~21 GB/s vs
+    ~800 (docs/RESULTS.md, ring section). So the production ring path keeps
+    the whole program in GSPMD-land:
+
+      * the circulating feature buffer is [D, per, F] sharded on axis 0;
+        `jnp.roll(buf, -1, axis=0)` IS the ring step — XLA lowers a roll
+        along a sharded axis to a collective-permute over ICI;
+      * each step's gather is a batch-sharded `vmap` gather (XLA partitions
+        gathers with sharded operand batch dims locally, keeping its fast
+        gather lowering — the shard_map manual-mode gather is ~45x slower);
+      * the segment reduction is the one-hot einsum (XLA matmul, batch dim
+        sharded; at r_block=256 it matches the Pallas kernel's speed on
+        pre-gathered messages).
+
+    h: [D*per, F] row-sharded; returns [D*per, F] row-sharded.
+    """
+    d_count = part.num_devices
+    per = part.nodes_per_device
+    r_block = part.r_block
+
+    @jax.jit
+    def run(h, senders, recv_local, weights):
+        f = h.shape[-1]
+        buf = h.reshape(d_count, per, f)
+        out = jnp.zeros_like(buf)
+        r_ids = jnp.arange(r_block)
+        for s in range(d_count):
+            idx = (jnp.arange(d_count) + s) % d_count      # chunk at step s
+            sel = lambda arr: jnp.take_along_axis(
+                arr, idx[:, None, None, None], axis=1)[:, 0]  # [D, B, E]
+            snd = sel(senders)
+            rcv = sel(recv_local)
+            wgt = sel(weights)
+            msgs = jax.vmap(lambda b, i: b[i])(buf, snd)   # [D, B, E, F]
+            onehot = (rcv[..., None] == r_ids).astype(h.dtype)
+            m = onehot * wgt[..., None].astype(h.dtype)
+            partial = jnp.einsum("dber,dbef->dbrf", m, msgs,
+                                 preferred_element_type=jnp.float32)
+            out = out + partial.reshape(d_count, per, f).astype(h.dtype)
+            if s < d_count - 1:
+                # device d's next chunk comes from d+1: a roll along the
+                # sharded axis = XLA collective-permute around the ring
+                buf = jnp.roll(buf, shift=-1, axis=0)
+        return out.reshape(d_count * per, f)
+
+    from jax.sharding import NamedSharding
+    sh_rows = NamedSharding(mesh, P(axis))
+
+    def call(h):
+        h = jax.device_put(h, sh_rows)
+        parts = jax.device_put((part.senders, part.recv_local, part.weights),
+                               NamedSharding(mesh, P(axis)))
+        return run(h, *parts)
+
+    return call
 
 
 def make_partitioned_spmm(mesh: Mesh, shards, num_nodes: int,

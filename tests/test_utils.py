@@ -110,3 +110,26 @@ class TestProfiling:
         rate = t.rate()
         assert rate > 0
         assert profiling.edges_per_second(1_000_000, 0.5) == 2_000_000
+
+
+class TestRingPartitionNative:
+    def test_native_matches_numpy_fallback(self):
+        from gnnra_tpu import graph as graph_lib
+        from gnnra_tpu.native import native_available
+        from gnnra_tpu.parallel import graph_parallel
+        import numpy as np
+        g = graph_lib.random_graph_host(3, 500, 4000)
+        p_np = graph_parallel.partition_for_ring(g, num_devices=4,
+                                                 r_block=64,
+                                                 use_native=False)
+        if not native_available():
+            import pytest
+            pytest.skip("native toolchain unavailable")
+        p_nat = graph_parallel.partition_for_ring(g, num_devices=4,
+                                                  r_block=64,
+                                                  use_native=True)
+        for a, b in ((p_np.senders, p_nat.senders),
+                     (p_np.recv_local, p_nat.recv_local),
+                     (p_np.weights, p_nat.weights)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert p_np.nodes_per_device == p_nat.nodes_per_device
