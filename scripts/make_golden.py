@@ -276,7 +276,123 @@ def make_model_golden():
     print(f"golden_model.npz: {len(out)} arrays")
 
 
+# ---------------------------------------------------------------------------
+# Part C: reference-executed model golden — run BS._create_model ITSELF
+# ---------------------------------------------------------------------------
+
+def _layer_name(kind, r=None, i=None, li=None):
+    """Keras auto-naming of the reference graph (creation order,
+    BS_brain.py:108-216): round-1 GNNs are named D{i}_GNN; rounds 2/3
+    construct fresh GNNLayers inline -> gnn_layer, gnn_layer_1..7; the four
+    head MLPs create dense..dense_11 interleaved per D2D."""
+    if kind == "gnn":
+        if r == 0:
+            return f"D{i + 1}_GNN"
+        idx = (r - 1) * 4 + i
+        return "gnn_layer" if idx == 0 else f"gnn_layer_{idx}"
+    if kind == "head":
+        if li == 3:
+            return f"D{i + 1}_Decide_Output"
+        idx = 3 * i + li
+        return "dense" if idx == 0 else f"dense_{idx}"
+    raise ValueError(kind)
+
+
+def make_refmodel_golden():
+    """Execute the reference's `BS._create_model` (BS_brain.py:108-216)
+    under legacy-Keras shims (tf_keras provides the Keras 2 API the
+    reference pins; tf.losses.huber_loss patched to compat.v1) and record
+    its weights, per-layer activations, and Q outputs. This closes the last
+    transcription gap: golden_model.npz re-builds the graph by hand in TF,
+    so a wiring misreading there would be invisible; this bundle is the
+    reference graph run by the reference's own code."""
+    import sys as _sys
+
+    import tf_keras
+    _sys.modules["keras"] = tf_keras
+    _sys.modules["keras.layers"] = tf_keras.layers
+    _sys.modules["keras.models"] = tf_keras.models
+    _sys.modules["keras.backend"] = tf_keras.backend
+    if not hasattr(tf_keras.layers, "activations"):
+        # importable as a `keras.layers` attribute in Keras 2.2.4
+        tf_keras.layers.activations = tf_keras.activations
+    import tensorflow as tf
+    if not hasattr(tf.losses, "huber_loss"):
+        tf.losses.huber_loss = tf.compat.v1.losses.huber_loss
+
+    _sys.path.insert(0, REFERENCE)
+    import BS_brain  # the reference module itself
+
+    tf.random.set_seed(77)
+    brain = BS_brain.BS(N_VEH, 3, 1, F, 1, N_RB)  # Agent.__init__ args,
+    model = brain.model                           # BS_brain.py:295-298
+
+    out = {}
+    layers = {layer.name: layer for layer in model.layers}
+    # record weights under this repo's naming (round/node stacks)
+    for r in range(GNN_ROUNDS):
+        for i in range(N_VEH):
+            w1, w2, w3, b = layers[_layer_name("gnn", r=r, i=i)].get_weights()
+            out[f"w1_r{r}_n{i}"] = w1
+            out[f"w2_r{r}_n{i}"] = w2
+            out[f"w3_r{r}_n{i}"] = w3
+            out[f"b_r{r}_n{i}"] = b
+    for li in range(4):
+        for i in range(N_VEH):
+            k, b = layers[_layer_name("head", i=i, li=li)].get_weights()
+            out[f"hw_l{li}_n{i}"] = k
+            out[f"hb_l{li}_n{i}"] = b
+
+    # inputs: batch of random observations; neighbor inputs are zeros as in
+    # the reference runtime (BS_brain.py:478); kron-lifted adjacency
+    rng = np.random.RandomState(123)
+    B = 8
+    node = rng.normal(0, 1, (B, N_VEH, NODE_DIM)).astype(np.float32)
+    edge = rng.normal(0, 1, (B, N_VEH, EDGE_DIM)).astype(np.float32)
+    adj = (1.0 - np.eye(N_VEH)) * np.ones((B, 1, 1))
+    for b in range(B):
+        i, j = rng.randint(0, N_VEH, 2)
+        if i != j:
+            adj[b, i, j] = 0.0
+    adj = adj.astype(np.float32)
+    adj64 = np.stack([np.kron(a, np.eye(F, dtype=np.float32)) for a in adj])
+    out["node"], out["edge"], out["adj"] = node, edge, adj
+
+    feed = []
+    for i in range(N_VEH):
+        feed += [node[:, i], edge[:, i], np.zeros((B, F), np.float32)]
+    feed.append(adj64)
+
+    # per-layer activations straight from the reference graph: every
+    # GNNLayer's output, plus the (shared) Aggregate layer's output at each
+    # of its three call sites
+    probes = []
+    probe_names = []
+    for r in range(GNN_ROUNDS):
+        for i in range(N_VEH):
+            probes.append(layers[_layer_name("gnn", r=r, i=i)].output)
+            probe_names.append(f"h_r{r}_n{i}")
+    agg = layers["Aggregate"]
+    for call in range(GNN_ROUNDS):
+        outs = agg.get_output_at(call)
+        for i in range(N_VEH):
+            probes.append(outs[i])
+            probe_names.append(f"agg_r{call}_n{i}")
+    probe_model = tf_keras.models.Model(inputs=model.inputs, outputs=probes)
+    acts = probe_model.predict(feed, verbose=0)
+    for name, act in zip(probe_names, acts):
+        out["ref_" + name] = act
+
+    qs = model.predict(feed, verbose=0)
+    out["q"] = np.stack(qs, axis=1)        # [B, N, A]
+
+    np.savez_compressed(os.path.join(GOLDEN_DIR, "golden_refmodel.npz"),
+                        **out)
+    print(f"golden_refmodel.npz: {len(out)} arrays")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     make_env_golden()
     make_model_golden()
+    make_refmodel_golden()

@@ -215,3 +215,54 @@ class TestModelGolden:
                     np.asarray(new_params["head"][li][k]),
                     np.asarray(post["head"][li][k]),
                     rtol=1e-4, atol=1e-5, err_msg=f"head[{li}].{k}")
+
+
+# ---------------------------------------------------------------------------
+# Reference-executed model golden (BS._create_model run under tf_keras shims)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def refmodel_gold():
+    path = os.path.join(GOLDEN_DIR, "golden_refmodel.npz")
+    if not os.path.exists(path):
+        pytest.skip("golden_refmodel.npz not generated")
+    return np.load(path)
+
+
+class TestReferenceExecutedModel:
+    """The strongest wiring check: weights extracted from, and activations
+    computed by, the reference's OWN `BS._create_model` graph
+    (BS_brain.py:108-216, executed via scripts/make_golden.py part C) —
+    not a transcription of it."""
+
+    def test_per_layer_activations_match_reference_graph(self, refmodel_gold):
+        g = refmodel_gold
+        cfg = ModelConfig()
+        params = params_from_golden(g)
+        node = jnp.asarray(g["node"])
+        edge = jnp.asarray(g["edge"])
+        adj = jnp.asarray(g["adj"])
+        q, inter = gnn_dqn.apply_with_intermediates(params, node, edge, adj,
+                                                    cfg)
+        for r in range(GNN_ROUNDS):
+            h_ref = np.stack([g[f"ref_h_r{r}_n{i}"] for i in range(N)],
+                             axis=1)
+            agg_ref = np.stack([g[f"ref_agg_r{r}_n{i}"] for i in range(N)],
+                               axis=1)
+            np.testing.assert_allclose(
+                np.asarray(inter["h"][r]), h_ref, rtol=1e-4, atol=1e-5,
+                err_msg=f"round {r} combine vs reference graph")
+            np.testing.assert_allclose(
+                np.asarray(inter["agg"][r]), agg_ref, rtol=1e-4, atol=1e-5,
+                err_msg=f"round {r} aggregate vs reference graph")
+        np.testing.assert_allclose(np.asarray(q), g["q"], rtol=1e-4,
+                                   atol=1e-5)
+
+    def test_reference_init_statistics(self, refmodel_gold):
+        """The extracted glorot_uniform weights bound-check against the
+        limit our init uses (same initializer family)."""
+        g = refmodel_gold
+        w1 = g["w1_r0_n0"]
+        limit = np.sqrt(6.0 / (w1.shape[0] + w1.shape[1]))
+        assert np.abs(w1).max() <= limit + 1e-6
+        assert np.abs(w1).max() > 0.5 * limit       # not degenerate
