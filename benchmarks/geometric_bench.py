@@ -40,7 +40,9 @@ def main(argv=None):
     parser.add_argument("--paged-chunk", type=int, default=128)
     parser.add_argument("--paged-page", type=int, default=256)
     parser.add_argument("--win-r", type=int, default=128)
-    parser.add_argument("--window", type=int, default=2048)
+    parser.add_argument("--window", type=int, default=0,
+                        help="A-tile width; 0 = auto (tightest multiple "
+                        "of 128 covering the widest block span)")
     parser.add_argument("--skip-blocked", action="store_true")
     args = parser.parse_args(argv)
 
@@ -94,15 +96,16 @@ def main(argv=None):
     report("spmm_fwdbwd_paged_geo_bfs_bf16", e, t_pg16)
 
     # windowed-dense: one MXU matmul per receiver block, zero gathers
+    win = args.window if args.window > 0 else None
     for dt, tag in ((jnp.bfloat16, "bf16"), (jnp.float32, "f32")):
         t0 = time.time()
         wd_f = graph_lib.window_dense(g_bfs, r_block=args.win_r,
-                                      window=args.window, dtype=dt)
+                                      window=win, dtype=dt)
         wd_b = graph_lib.window_dense(g_bfs.transpose(),
                                       r_block=args.win_r,
-                                      window=args.window, dtype=dt)
+                                      window=win, dtype=dt)
         a_mb = wd_f.a_dense.size * wd_f.a_dense.dtype.itemsize / 1e6
-        print(f"# windowed-dense {tag}: W={args.window} A={a_mb:.0f}MB "
+        print(f"# windowed-dense {tag}: W={wd_f.window} A={a_mb:.0f}MB "
               f"preprocess {time.time() - t0:.1f}s", flush=True)
         hh = h.astype(dt)
         t_w = bench(lambda h, wd: spmm.spmm_windowed(h, wd), hh,
