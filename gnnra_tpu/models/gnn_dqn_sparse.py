@@ -57,6 +57,66 @@ def aggregate_blocked(fwd_layout, bwd_layout,
     return lambda h: call(h, fwd_layout, bwd_layout)
 
 
+def aggregate_windowed(fwd_wd, bwd_wd, impl: str = "pallas") -> AggregateFn:
+    """Windowed-dense aggregation (`graph.window_dense` layouts over a
+    BFS-reordered geometric graph): zero gathers, ~95% of measured HBM
+    streaming ceiling (docs/RESULTS.md)."""
+    call = spmm_lib.make_spmm_windowed_call(impl=impl)
+    return lambda h: call(h, fwd_wd, bwd_wd).astype(h.dtype)
+
+
+def default_aggregate(graph: COOGraph, dtype=jnp.bfloat16,
+                      impl: str = "pallas"):
+    """Pick the measured-fastest aggregation for a topology
+    (docs/RESULTS.md, round-3 tables) and build it.
+
+    Returns (aggregate_fn, perm | None) — when the choice involves a BFS
+    relabeling, node features must be permuted with `h_new = h_old[perm]`
+    and outputs mapped back via `graph.inverse_permutation(perm)`.
+
+    Policy:
+      * graphs whose BFS sender windows are narrow (geometric/community
+        structure) AND whose dense-window tiles fit a memory budget ->
+        windowed-dense kernel (2.5-4x the gather path);
+      * otherwise -> blocked Pallas kernel, two-level when the feature
+        table outgrows ~100 MB (the 10M-edge locality fix).
+    """
+    import numpy as np
+
+    from gnnra_tpu import graph as graph_lib
+
+    n = graph.num_nodes
+    g_bfs, perm = graph_lib.reorder_nodes(graph, "bfs")
+    receivers = np.asarray(g_bfs.receivers)
+    senders = np.asarray(g_bfs.senders)
+    r_block = 128
+    num_blocks = max(1, -(-n // r_block))
+    block_of = receivers // r_block
+    mins = np.full(num_blocks, np.iinfo(np.int64).max)
+    maxs = np.full(num_blocks, -1)
+    np.minimum.at(mins, block_of, senders)
+    np.maximum.at(maxs, block_of, senders)
+    have = maxs >= 0
+    span = int((maxs[have] - (mins[have] // 8) * 8 + 1).max(initial=1))
+    window = max(128, -(-span // 128) * 128)
+    a_bytes = n * window * jnp.dtype(dtype).itemsize
+    if a_bytes <= 1 << 30:      # 1 GiB A-tile budget
+        fwd_wd = graph_lib.window_dense(g_bfs, r_block, window, dtype)
+        bwd_wd = graph_lib.window_dense(g_bfs.transpose(), r_block=r_block,
+                                        dtype=dtype)
+        return aggregate_windowed(fwd_wd, bwd_wd, impl), perm
+    # fall back to the gather path on the ORIGINAL ordering (BFS buys the
+    # gather nothing — measured, docs/RESULTS.md geometric table)
+    table_bytes = n * 128 * 4
+    if table_bytes > 100 * (1 << 20):
+        fwd = graph_lib.block_two_level(graph, r_block=256)
+        bwd = graph_lib.block_two_level(graph.transpose(), r_block=256)
+    else:
+        fwd = graph_lib.block_by_receiver(graph, r_block=256)
+        bwd = graph_lib.block_by_receiver(graph.transpose(), r_block=256)
+    return aggregate_blocked(fwd, bwd, impl), None
+
+
 def init_params(key: jax.Array, cfg: ModelConfig):
     """Shared-weight parameter pytree (cfg.share_weights must be True)."""
     assert cfg.share_weights, "sparse model uses shared per-node weights"

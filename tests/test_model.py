@@ -309,6 +309,7 @@ class TestSparseModel:
         senders = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (n, n))
         fd = graph_lib.FixedDegreeGraph(senders=senders,
                                         weights=jnp.asarray(adj.T),
+                                        edge_ids=jnp.zeros((n, n), jnp.int32),
                                         num_nodes=n)
         params = gnn_dqn_sparse.init_params(jax.random.PRNGKey(6), cfg)
         node = jnp.asarray(rng.randn(n, 9), np.float32)
@@ -384,3 +385,41 @@ class TestDistributedInit:
         assert distributed.is_primary() is True
         mesh = distributed.global_mesh()
         assert mesh.devices.size == len(jax.devices())
+
+
+class TestDefaultAggregate:
+    def test_geometric_picks_windowed_and_matches_oracle(self):
+        from gnnra_tpu import graph as graph_lib
+        from gnnra_tpu.models import gnn_dqn_sparse
+        from gnnra_tpu.ops import spmm as spmm_lib
+        _, g = graph_lib.geometric_interference_graph(0, 2000,
+                                                      target_degree=8)
+        agg, perm = gnn_dqn_sparse.default_aggregate(
+            g, dtype=jnp.float32, impl="jnp")
+        assert perm is not None            # windowed path chose BFS relabel
+        inv = graph_lib.inverse_permutation(perm)
+        h = jax.random.normal(jax.random.PRNGKey(1), (2000, 32))
+        out = np.asarray(agg(jnp.asarray(np.asarray(h)[perm])))[inv]
+        want = np.asarray(spmm_lib.spmm_coo(h, g))
+        np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+
+    def test_random_falls_back_to_blocked(self):
+        from gnnra_tpu import graph as graph_lib
+        from gnnra_tpu.models import gnn_dqn_sparse
+        from gnnra_tpu.ops import spmm as spmm_lib
+        g = graph_lib.random_graph_host(7, 3000, 24000)
+        agg, perm = gnn_dqn_sparse.default_aggregate(
+            g, dtype=jnp.float32, impl="jnp")
+        # random order -> wide windows -> A tiles blow the budget at any
+        # realistic N... at N=3000 window covers all nodes but A is small;
+        # accept either choice, but the result must match the oracle in the
+        # ordering the helper reports
+        h = jax.random.normal(jax.random.PRNGKey(2), (3000, 16))
+        if perm is None:
+            out = np.asarray(agg(h))
+            want = np.asarray(spmm_lib.spmm_coo(h, g))
+        else:
+            inv = graph_lib.inverse_permutation(perm)
+            out = np.asarray(agg(jnp.asarray(np.asarray(h)[perm])))[inv]
+            want = np.asarray(spmm_lib.spmm_coo(h, g))
+        np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
