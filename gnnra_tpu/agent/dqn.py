@@ -125,6 +125,103 @@ def rollout(agent: AgentState, env_state: vehicular.EnvState, key: jax.Array,
     return agent.replace(replay=rep, env_step=env_step), env_state, rewards
 
 
+def _stacked_rollout_states(env_state: vehicular.EnvState,
+                            chan: vehicular.ChannelTrajectory,
+                            env_cfg: EnvConfig) -> vehicular.EnvState:
+    """EnvState pytree with a leading [T+1] axis: entry 0 is `env_state`,
+    entry t>=1 carries trajectory entry t-1's channels plus the
+    (action-independent, see `rollout_parallel`) interference observation
+    recomputed for those channels."""
+    t_steps = chan.positions.shape[0]
+
+    def cat(first, rest):
+        return jnp.concatenate([first[None], rest], axis=0)
+
+    def bc(x):
+        return jnp.broadcast_to(x[None], (t_steps + 1,) + x.shape)
+
+    stacked = vehicular.EnvState(
+        positions=cat(env_state.positions, chan.positions),
+        directions=cat(env_state.directions, chan.directions),
+        velocities=bc(env_state.velocities),
+        shadow_v2v=cat(env_state.shadow_v2v, chan.shadow_v2v),
+        shadow_v2i=cat(env_state.shadow_v2i, chan.shadow_v2i),
+        v2v_abs=cat(env_state.v2v_abs, chan.v2v_abs),
+        v2i_abs=cat(env_state.v2i_abs, chan.v2i_abs),
+        v2v_fast=cat(env_state.v2v_fast, chan.v2v_fast),
+        v2i_fast=cat(env_state.v2i_fast, chan.v2i_fast),
+        destinations=bc(env_state.destinations),
+        activate_links=bc(env_state.activate_links),
+        v2v_interference_db=bc(env_state.v2v_interference_db),  # placeholder
+        step=env_state.step + jnp.arange(t_steps + 1, dtype=jnp.int32),
+    )
+    dummy_actions = jnp.zeros_like(env_state.destinations)
+    obs_rest = jax.vmap(
+        lambda s: vehicular.compute_interference_obs(s, dummy_actions,
+                                                     env_cfg)
+    )(jax.tree.map(lambda x: x[1:], stacked))
+    obs_all = jnp.concatenate(
+        [env_state.v2v_interference_db[None], obs_rest], axis=0)
+    return stacked.replace(v2v_interference_db=obs_all)
+
+
+def rollout_parallel(agent: AgentState, env_state: vehicular.EnvState,
+                     key: jax.Array, env_cfg: EnvConfig,
+                     model_cfg: ModelConfig, train_cfg: TrainConfig,
+                     total_env_steps: int
+                     ) -> Tuple[AgentState, vehicular.EnvState, jax.Array]:
+    """Scan-free rollout: the whole burst as batched computations.
+
+    In the reference's MDP, actions influence ONLY rewards — never the next
+    state: mobility/shadowing/fading are action-independent
+    (BS_brain.py:366-376), and the interference observation's V2V
+    accumulation is dead code for active links (the guard at
+    Environment.py:486), leaving only the action-independent V2I term.
+    With `activate_links` all-True (always, in training — nothing ever
+    deactivates links), every state of the burst is therefore known up
+    front, so featurization runs once over [T+1] states, all T policy
+    forwards run as ONE batched forward, and rewards/epsilon-greedy draws
+    vmap over steps. Consuming the same per-step action keys as `rollout`,
+    the produced trajectory is IDENTICAL (asserted in tests) at a fraction
+    of the serial-scan cost.
+    """
+    t_steps = train_cfg.transitions_per_step
+    k_traj, k_scan = jax.random.split(key)
+    chan = vehicular.precompute_channel_trajectory(env_state, k_traj,
+                                                   env_cfg, t_steps)
+    stacked = _stacked_rollout_states(env_state, chan, env_cfg)
+
+    node_all, edge_all = jax.vmap(
+        lambda s: features.node_edge_features(s, env_cfg))(stacked)
+    # destinations are fixed within an episode -> adjacency is constant
+    adj = features.adjacency(env_state, env_cfg)
+
+    node = node_all[:t_steps]
+    edge = edge_all[:t_steps]
+    q = gnn_dqn.apply(agent.params, node, edge,
+                      jnp.broadcast_to(adj, (t_steps,) + adj.shape),
+                      model_cfg)                               # [T, N, A]
+    eps = jax.vmap(lambda t: policy.epsilon_at(
+        agent.env_step + t, total_env_steps, train_cfg))(
+            jnp.arange(t_steps))
+    keys = jax.random.split(k_scan, t_steps)
+    actions, _ = jax.vmap(policy.epsilon_greedy)(keys, q, eps)  # [T, N]
+
+    acting = jax.tree.map(lambda x: x[:t_steps], stacked)
+    v2v_rate, v2i_rate, _ = jax.vmap(
+        lambda s, a: vehicular.compute_reward_with_channel_selection(
+            s, a[:, None], env_cfg))(acting, actions)
+    rewards = jax.vmap(
+        lambda v, i: _weighted_reward(v, i, train_cfg))(v2v_rate, v2i_rate)
+
+    adj_b = jnp.broadcast_to(adj, (t_steps,) + adj.shape)
+    rep = replay_lib.add_batch(agent.replay, node, edge, adj_b, actions,
+                               rewards, node_all[1:], edge_all[1:])
+    final_state = jax.tree.map(lambda x: x[-1], stacked)
+    return (agent.replace(replay=rep, env_step=agent.env_step + t_steps),
+            final_state, rewards)
+
+
 def rollout_batched(agent: AgentState, env_states: vehicular.EnvState,
                     key: jax.Array, env_cfg: EnvConfig,
                     model_cfg: ModelConfig, train_cfg: TrainConfig,
@@ -293,7 +390,8 @@ def train_step(agent: AgentState, env_state: vehicular.EnvState,
     """One full training step: 50-transition rollout burst + one replay
     update + conditional target sync (reference BS_brain.py:818-847)."""
     k_roll, k_replay = jax.random.split(key)
-    agent, env_state, rewards = rollout(
+    roll = rollout_parallel if train_cfg.parallel_rollout else rollout
+    agent, env_state, rewards = roll(
         agent, env_state, k_roll, env_cfg, model_cfg, train_cfg,
         total_env_steps)
     agent, metrics = replay_update(agent, k_replay, model_cfg, train_cfg)

@@ -165,6 +165,17 @@ class TrainConfig:
     # friendly); 'faithful' samples without replacement like np.random.choice
     # (BS_brain.py:261).
     replay_sampling: str = "fast"
+    # Scan-free rollout (dqn.rollout_parallel): in the reference's MDP the
+    # NEXT STATE never depends on the action — mobility/channels are
+    # action-independent, and with every link active the interference
+    # observation's only action-dependent branch is the dead code at
+    # Environment.py:486 — so all T forwards/featurizations/rewards of a
+    # burst batch into one computation, reproducing the sequential
+    # trajectory exactly (tests/test_agent.py pins equality). Valid while
+    # activate_links stays all-True, which training always satisfies
+    # (nothing in the reference deactivates links). Set False to force the
+    # sequential scan (required if links can deactivate mid-burst).
+    parallel_rollout: bool = True
     seed: int = 1001                   # RL_Train_main.py:44-47
 
 

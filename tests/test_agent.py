@@ -273,3 +273,40 @@ class TestTrainEpisodes:
             num_train_steps=2, total_env_steps=1000, num_envs=3)
         assert rewards.shape == (2, 12)        # T * num_envs flattened
         assert int(agent.replay.size) == 2 * 4 * 3
+
+
+class TestParallelRollout:
+    """`rollout_parallel` must reproduce the sequential scan's trajectory
+    EXACTLY (same keys -> same actions/rewards/replay/final state): in the
+    reference's MDP actions never influence the next state (see
+    TrainConfig.parallel_rollout)."""
+
+    def test_matches_sequential_rollout(self):
+        agent0 = dqn.init_agent(jax.random.PRNGKey(0), MODEL_CFG, TRAIN_CFG)
+        env0 = vehicular.new_random_game(jax.random.PRNGKey(1), ENV_CFG)
+        key = jax.random.PRNGKey(2)
+        a_seq, env_seq, r_seq = dqn.rollout(
+            agent0, env0, key, ENV_CFG, MODEL_CFG, TRAIN_CFG, 1000)
+        a_par, env_par, r_par = dqn.rollout_parallel(
+            agent0, env0, key, ENV_CFG, MODEL_CFG, TRAIN_CFG, 1000)
+        np.testing.assert_allclose(np.asarray(r_par), np.asarray(r_seq),
+                                   rtol=1e-5, atol=1e-6)
+        for la, lb in zip(jax.tree.leaves(a_par.replay),
+                          jax.tree.leaves(a_seq.replay)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=1e-5, atol=1e-6)
+        for la, lb in zip(jax.tree.leaves(env_par),
+                          jax.tree.leaves(env_seq)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=1e-5, atol=1e-5)
+        assert int(a_par.env_step) == int(a_seq.env_step)
+
+    def test_train_step_uses_parallel_by_default(self):
+        assert TRAIN_CFG.parallel_rollout
+        agent = dqn.init_agent(jax.random.PRNGKey(0), MODEL_CFG, TRAIN_CFG)
+        env_state = vehicular.new_random_game(jax.random.PRNGKey(1), ENV_CFG)
+        agent2, env2, rewards, metrics = dqn.train_step(
+            agent, env_state, jax.random.PRNGKey(2), ENV_CFG, MODEL_CFG,
+            TRAIN_CFG, 1000)
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(agent2.replay.size) == TRAIN_CFG.transitions_per_step
