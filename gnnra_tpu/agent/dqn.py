@@ -362,6 +362,70 @@ def apply_grads(agent: AgentState, grads: Any,
     return agent.replace(params=params, opt_state=opt_state)
 
 
+def rollout_batched_parallel(agent: AgentState,
+                             env_states: vehicular.EnvState,
+                             key: jax.Array, env_cfg: EnvConfig,
+                             model_cfg: ModelConfig, train_cfg: TrainConfig,
+                             total_env_steps: int
+                             ) -> Tuple[AgentState, vehicular.EnvState,
+                                        jax.Array]:
+    """Scan-free batched rollout: `rollout_parallel`'s transform applied to
+    the [E]-env bank (config 3) — all T x E featurizations in one vmapped
+    pass, all T x E policy forwards as ONE batched forward. Same validity
+    condition (all links active) and same trajectory as `rollout_batched`
+    given the same key (equality pinned in tests)."""
+    t_steps = train_cfg.transitions_per_step
+    k_traj, k_scan = jax.random.split(key)
+    n_envs = jax.tree.leaves(env_states)[0].shape[0]
+    chan = jax.vmap(lambda s, k: vehicular.precompute_channel_trajectory(
+        s, k, env_cfg, t_steps))(
+            env_states, jax.random.split(k_traj, n_envs))
+    stacked = jax.vmap(
+        lambda s, c: _stacked_rollout_states(s, c, env_cfg))(
+            env_states, chan)                       # [E, T+1, ...]
+
+    node_all, edge_all = jax.vmap(jax.vmap(
+        lambda s: features.node_edge_features(s, env_cfg)))(stacked)
+    adj = jax.vmap(lambda s: features.adjacency(s, env_cfg))(env_states)
+    # [E, T, ...] -> [T, E, ...] to mirror the scan's per-step layout
+    node = jnp.swapaxes(node_all[:, :t_steps], 0, 1)
+    edge = jnp.swapaxes(edge_all[:, :t_steps], 0, 1)
+    next_node = jnp.swapaxes(node_all[:, 1:], 0, 1)
+    next_edge = jnp.swapaxes(edge_all[:, 1:], 0, 1)
+    adj_b = jnp.broadcast_to(adj[None], (t_steps,) + adj.shape)
+
+    n_nodes = node.shape[2]
+    q = gnn_dqn.apply(agent.params,
+                      node.reshape(t_steps * n_envs, n_nodes, -1),
+                      edge.reshape(t_steps * n_envs, n_nodes, -1),
+                      adj_b.reshape(t_steps * n_envs, n_nodes, n_nodes),
+                      model_cfg).reshape(t_steps, n_envs, n_nodes, -1)
+    eps = jax.vmap(lambda t: policy.epsilon_at(
+        agent.env_step + t, total_env_steps, train_cfg))(
+            jnp.arange(t_steps))
+    act_keys = jax.vmap(lambda k: jax.random.split(k, n_envs))(
+        jax.random.split(k_scan, t_steps))          # [T, E, 2]
+    actions, _ = jax.vmap(jax.vmap(policy.epsilon_greedy,
+                                   in_axes=(0, 0, None)))(
+        act_keys, q, eps)                           # [T, E, N]
+
+    acting = jax.tree.map(
+        lambda x: jnp.swapaxes(x[:, :t_steps], 0, 1), stacked)
+    v2v_rate, v2i_rate, _ = jax.vmap(jax.vmap(
+        lambda s, a: vehicular.compute_reward_with_channel_selection(
+            s, a[:, None], env_cfg)))(acting, actions)
+    rewards = jax.vmap(jax.vmap(
+        lambda v, i: _weighted_reward(v, i, train_cfg)))(v2v_rate, v2i_rate)
+
+    traj = (node, edge, adj_b, actions, rewards, next_node, next_edge)
+    flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), traj)
+    rep = replay_lib.add_batch(agent.replay, *flat)
+    final_states = jax.tree.map(lambda x: x[:, -1], stacked)
+    return (agent.replace(replay=rep,
+                          env_step=agent.env_step + t_steps),
+            final_states, rewards)
+
+
 def replay_update(agent: AgentState, key: jax.Array, model_cfg: ModelConfig,
                   train_cfg: TrainConfig
                   ) -> Tuple[AgentState, Dict[str, jax.Array]]:
@@ -431,10 +495,13 @@ def train_episode(agent: AgentState, key: jax.Array, env_cfg: EnvConfig,
         env_state = jax.vmap(lambda k: vehicular.new_random_game(k, env_cfg))(
             jax.random.split(k_env, num_envs))
 
+        roll_b = (rollout_batched_parallel if train_cfg.parallel_rollout
+                  else rollout_batched)
+
         def body(carry, k):
             agent, env_states = carry
             k_roll, k_replay = jax.random.split(k)
-            agent, env_states, rewards = rollout_batched(
+            agent, env_states, rewards = roll_b(
                 agent, env_states, k_roll, env_cfg, model_cfg, train_cfg,
                 total_env_steps)
             agent, metrics = replay_update(agent, k_replay, model_cfg,

@@ -175,11 +175,14 @@ def make_spmd_train_step(env_cfg: EnvConfig, model_cfg: ModelConfig,
     """Jitted (agent, env_states [E, ...], key) -> (agent', env_states',
     rewards, metrics); partitioning follows the input shardings."""
 
+    roll_b = (dqn.rollout_batched_parallel if train_cfg.parallel_rollout
+              else dqn.rollout_batched)
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(agent: dqn.AgentState, env_states: vehicular.EnvState,
              key: jax.Array):
         k_roll, k_replay = jax.random.split(key)
-        agent, env_states, rewards = dqn.rollout_batched(
+        agent, env_states, rewards = roll_b(
             agent, env_states, k_roll, env_cfg, model_cfg, train_cfg,
             total_env_steps)
         agent, metrics = dqn.replay_update(agent, k_replay, model_cfg,

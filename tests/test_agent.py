@@ -310,3 +310,24 @@ class TestParallelRollout:
             TRAIN_CFG, 1000)
         assert np.isfinite(float(metrics["loss"]))
         assert int(agent2.replay.size) == TRAIN_CFG.transitions_per_step
+
+    def test_batched_parallel_matches_batched_scan(self):
+        agent0 = dqn.init_agent(jax.random.PRNGKey(0), MODEL_CFG, TRAIN_CFG)
+        env_states = jax.vmap(
+            lambda k: vehicular.new_random_game(k, ENV_CFG))(
+            jax.random.split(jax.random.PRNGKey(1), 3))
+        key = jax.random.PRNGKey(2)
+        a_seq, env_seq, r_seq = dqn.rollout_batched(
+            agent0, env_states, key, ENV_CFG, MODEL_CFG, TRAIN_CFG, 1000)
+        a_par, env_par, r_par = dqn.rollout_batched_parallel(
+            agent0, env_states, key, ENV_CFG, MODEL_CFG, TRAIN_CFG, 1000)
+        np.testing.assert_allclose(np.asarray(r_par), np.asarray(r_seq),
+                                   rtol=1e-5, atol=1e-6)
+        for la, lb in zip(jax.tree.leaves(a_par.replay),
+                          jax.tree.leaves(a_seq.replay)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=1e-5, atol=1e-6)
+        for la, lb in zip(jax.tree.leaves(env_par),
+                          jax.tree.leaves(env_seq)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=1e-5, atol=1e-5)
