@@ -71,6 +71,18 @@ class Agent:
         self._new_game = jax.jit(vehicular.new_random_game, static_argnums=1)
         self._test_episode = jax.jit(self._test_episode_impl,
                                      static_argnums=(3, 4, 5))
+        # whole CHUNK of test episodes (fresh games + episode scans) as one
+        # program: the per-episode host loop costs one dispatch + a full
+        # device->host metrics pull per episode (~330 ms/episode measured
+        # with the 256-action Opt baseline); vmapping E episodes amortizes
+        # both
+        self._test_episode_chunk = jax.jit(
+            lambda params, keys_game, keys_ep, opt, eps, steps: jax.vmap(
+                lambda kg, ke: self._test_episode_impl(
+                    params,
+                    vehicular.new_random_game(kg, self.env_cfg),
+                    ke, opt, eps, steps))(keys_game, keys_ep),
+            static_argnums=(3, 4, 5))
         self._eval_ckpts = jax.jit(self._eval_ckpts_impl,
                                    static_argnums=(4,))
 
@@ -376,16 +388,27 @@ class Agent:
         num_test_steps = num_test_steps or ev.num_test_steps
         opt_flag = ev.opt_flag if opt_flag is None else opt_flag
 
+        # same key-consumption order as the per-episode loop (2 draws per
+        # episode: game, then episode), batched per chunk
+        chunk = max(1, min(getattr(self.eval_cfg, "episode_chunk", 100),
+                           num_episodes))
         results = []
-        for ep in range(num_episodes):
-            env_state = self._new_game(self._next_key(), self.env_cfg)
-            traj = self._test_episode(self.state.params, env_state,
-                                      self._next_key(), opt_flag, 0.0,
-                                      num_test_steps)
+        done = 0
+        while done < num_episodes:
+            take = min(chunk, num_episodes - done)
+            keys_game = []
+            keys_ep = []
+            for _ in range(take):
+                keys_game.append(self._next_key())
+                keys_ep.append(self._next_key())
+            traj = self._test_episode_chunk(
+                self.state.params, jnp.stack(keys_game), jnp.stack(keys_ep),
+                opt_flag, 0.0, num_test_steps)
             results.append(jax.tree.map(np.asarray, traj))
-            if (ep + 1) % log_interval == 0:
-                self._log(f"test episode {ep + 1}/{num_episodes}")
-        stacked = jax.tree.map(lambda *xs: np.stack(xs), *results)
+            done += take
+            if done % log_interval < take:
+                self._log(f"test episode {done}/{num_episodes}")
+        stacked = jax.tree.map(lambda *xs: np.concatenate(xs), *results)
         stacked["expect_return"] = stacked["reward"].sum(axis=1)
         stacked["ra_expect_return"] = stacked["ra_reward"].sum(axis=1)
         if opt_flag:
