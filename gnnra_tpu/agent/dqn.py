@@ -324,21 +324,26 @@ def grads_from_batch(params: Any, target_params: Any, batch,
     batch through the same code path the trainer uses."""
     node, edge, adj, action, reward, next_node, next_edge = batch
 
-    q_s = gnn_dqn.apply(params, node, edge, adj, model_cfg)
     # S' reuses S's adjacency (reference BS_brain.py:583).
     q_sp = gnn_dqn.apply(target_params, next_node, next_edge, adj,
                          model_cfg)
-    y = bellman_targets(q_s, q_sp, action, reward, train_cfg.gamma)
-    y = jax.lax.stop_gradient(y)
 
     def loss_fn(p):
         q = gnn_dqn.apply(p, node, edge, adj, model_cfg)
+        # Bellman targets from THIS forward's (stop-gradded) q — identical
+        # math to a separate q_s forward (the reference's predict at
+        # BS_brain.py:664 and its fit use the same pre-update weights), so
+        # the extra batch-512 online forward disappears. Non-chosen entries
+        # contribute huber(stop_grad(q), q): zero value AND zero gradient
+        # (huber'(0) = 0), exactly as with an externally-built y.
+        y = jax.lax.stop_gradient(
+            bellman_targets(q, q_sp, action, reward, train_cfg.gamma))
         per_head = jnp.mean(losses.huber(y, q), axis=(0, 2))  # [N]
         if axis_name is not None:
             per_head = jax.lax.pmean(per_head, axis_name)
-        return jnp.sum(per_head), per_head
+        return jnp.sum(per_head), (per_head, q, y)
 
-    (loss, per_head_loss), grads = jax.value_and_grad(
+    (loss, (per_head_loss, q_s, y)), grads = jax.value_and_grad(
         loss_fn, has_aux=True)(params)
 
     n_actions = q_s.shape[-1]
@@ -439,10 +444,15 @@ def replay_update(agent: AgentState, key: jax.Array, model_cfg: ModelConfig,
 
 def maybe_sync_target(agent: AgentState, train_cfg: TrainConfig) -> AgentState:
     """Hard sync when env_step hits the update frequency (reference
-    BS_brain.py:846-847 checks after each train step)."""
+    BS_brain.py:846-847 checks after each train step).
+
+    `lax.cond` instead of per-leaf `where`: the where form rewrites every
+    target buffer every step (measured ~0.25 ms/step, a quarter of the
+    whole train step); the cond's no-sync branch passes the existing
+    buffers through."""
     sync = (agent.env_step % train_cfg.target_update_every_env_steps) == 0
-    target = jax.tree.map(
-        lambda t, o: jnp.where(sync, o, t), agent.target_params, agent.params)
+    target = jax.lax.cond(sync, lambda: agent.params,
+                          lambda: agent.target_params)
     return agent.replace(target_params=target)
 
 
