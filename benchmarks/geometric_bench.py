@@ -39,7 +39,7 @@ def main(argv=None):
     parser.add_argument("--paged-r", type=int, default=128)
     parser.add_argument("--paged-chunk", type=int, default=128)
     parser.add_argument("--paged-page", type=int, default=256)
-    parser.add_argument("--win-r", type=int, default=128)
+    parser.add_argument("--win-r", type=int, default=256)
     parser.add_argument("--window", type=int, default=0,
                         help="A-tile width; 0 = auto (tightest multiple "
                         "of 128 covering the widest block span)")
@@ -97,7 +97,8 @@ def main(argv=None):
 
     # windowed-dense: one MXU matmul per receiver block, zero gathers
     win = args.window if args.window > 0 else None
-    for dt, tag in ((jnp.bfloat16, "bf16"), (jnp.float32, "f32")):
+    for dt, tag in ((jnp.int8, "int8"), (jnp.bfloat16, "bf16"),
+                    (jnp.float32, "f32")):
         t0 = time.time()
         wd_f = graph_lib.window_dense(g_bfs, r_block=args.win_r,
                                       window=win, dtype=dt)
@@ -107,7 +108,7 @@ def main(argv=None):
         a_mb = wd_f.a_dense.size * wd_f.a_dense.dtype.itemsize / 1e6
         print(f"# windowed-dense {tag}: W={wd_f.window} A={a_mb:.0f}MB "
               f"preprocess {time.time() - t0:.1f}s", flush=True)
-        hh = h.astype(dt)
+        hh = h.astype(jnp.bfloat16 if dt == jnp.int8 else dt)
         t_w = bench(lambda h, wd: spmm.spmm_windowed(h, wd), hh,
                     iters=args.iters, data=(wd_f,))
         report(f"spmm_fwd_windowed_geo_bfs_{tag}", e, t_w)

@@ -730,9 +730,12 @@ def window_dense(graph: COOGraph, r_block: int = 128,
     graph allows (plain-BFS degree-10 vehicular graphs: ~1024 at 100k
     nodes; RCM measured no tighter than BFS here).
 
-    dtype: storage/compute dtype of the A tiles. bf16 is exact for the
-    common weight values (1.0 and small integers) and halves the dominant
-    A-streaming traffic; pass float32 for arbitrary f32 weights.
+    dtype: storage dtype of the A tiles. bf16 is exact for the common
+    weight values (1.0 and small integers) and halves the dominant
+    A-streaming traffic vs f32; int8 halves it AGAIN for graphs whose
+    accumulated edge weights are integers in [-127, 127] (e.g. unweighted
+    multigraphs — validated here, raises otherwise; the kernel converts
+    tiles to bf16 in VMEM). Pass float32 for arbitrary f32 weights.
     """
     senders = np.asarray(graph.senders)
     receivers = np.asarray(graph.receivers)
@@ -771,6 +774,11 @@ def window_dense(graph: COOGraph, r_block: int = 128,
     s_local = senders - w_start[block_of]
     np.add.at(a, (block_of, r_local, s_local), weights)
     a = a.reshape(num_blocks * r_block, window)
+    if jnp.dtype(dtype) == jnp.int8:
+        if not (np.all(a == np.round(a)) and np.abs(a).max(initial=0) <= 127):
+            raise ValueError(
+                "int8 A tiles need integer accumulated weights in "
+                "[-127, 127]; use bf16/f32 for this graph")
 
     return WindowedDenseGraph(
         a_dense=jnp.asarray(a, dtype=dtype),

@@ -494,7 +494,9 @@ def _spmm_windowed_pallas(h: jax.Array, wd, interpret: bool = False
     r = wd.r_block
     w = wd.window
     nb = wd.num_blocks
-    h = h.astype(wd.a_dense.dtype)
+    compute_dtype = (jnp.bfloat16 if wd.a_dense.dtype == jnp.int8
+                     else wd.a_dense.dtype)
+    h = h.astype(compute_dtype)
     h_pad = _pad_rows(h, max(wd.num_nodes_padded, w))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -531,11 +533,14 @@ def _spmm_windowed_jnp(h: jax.Array, wd) -> jax.Array:
     """Vectorized jnp oracle/fallback (same math as the kernel)."""
     f = h.shape[-1]
     w = wd.window
-    h_pad = _pad_rows(h.astype(wd.a_dense.dtype),
+    compute_dtype = (jnp.bfloat16 if wd.a_dense.dtype == jnp.int8
+                     else wd.a_dense.dtype)
+    h_pad = _pad_rows(h.astype(compute_dtype),
                       max(wd.num_nodes_padded, w))
     idx = wd.w_start[:, None] + jnp.arange(w)[None, :]    # [B, W]
     h_win = h_pad[idx]                                    # [B, W, F]
-    a3 = wd.a_dense.reshape(wd.num_blocks, wd.r_block, w)
+    a3 = wd.a_dense.reshape(wd.num_blocks, wd.r_block, w
+                            ).astype(compute_dtype)
     out = jnp.einsum("brw,bwf->brf", a3, h_win,
                      preferred_element_type=jnp.float32)
     return out.reshape(-1, f)[:wd.num_nodes]

@@ -508,3 +508,24 @@ class TestSampledBlockedBackward:
             gout)[0]
         np.testing.assert_allclose(np.asarray(dh), np.asarray(dh_ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestWindowedInt8:
+    def test_int8_matches_oracle(self):
+        g = geo_bfs_graph()                           # unweighted
+        wd = graph_lib.window_dense(g, r_block=128, window=512,
+                                    dtype=jnp.int8)
+        assert wd.a_dense.dtype == jnp.int8
+        h = jax.random.normal(jax.random.PRNGKey(2), (g.num_nodes, 64))
+        want = np.asarray(spmm.spmm_coo(h, g)).astype(np.float32)
+        got = np.asarray(spmm.spmm_windowed(h, wd, impl="jnp"))
+        np.testing.assert_allclose(got, want, rtol=5e-2, atol=6e-2)
+        got_k = np.asarray(spmm.spmm_windowed(h, wd,
+                                              impl="pallas_interpret"))
+        np.testing.assert_allclose(got_k, want, rtol=5e-2, atol=6e-2)
+
+    def test_int8_rejects_fractional_weights(self):
+        g = geo_bfs_graph(weighted=True)
+        with pytest.raises(ValueError, match="int8"):
+            graph_lib.window_dense(g, r_block=128, window=512,
+                                   dtype=jnp.int8)
