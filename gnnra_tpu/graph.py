@@ -327,32 +327,43 @@ def reorder_nodes(graph: COOGraph, method: str = "degree"
         perm = np.argsort(-out_deg, kind="stable").astype(np.int32)
     elif method == "bfs":
         # CSR over the undirected edge set, then BFS from every unvisited
-        # node in ascending id order (handles disconnected graphs)
+        # node in ascending id order (handles disconnected graphs). The
+        # traversal runs in the native library when available (Python BFS:
+        # ~6.5 min at 1M nodes / 10M edges; native: seconds).
         und_s = np.concatenate([senders, receivers])
         und_r = np.concatenate([receivers, senders])
         order = np.argsort(und_s, kind="stable")
-        sorted_r = und_r[order]
+        sorted_r = np.ascontiguousarray(und_r[order], np.int32)
         counts = np.bincount(und_s, minlength=n)
         offsets = np.zeros(n + 1, np.int64)
         np.cumsum(counts, out=offsets[1:])
-        visited = np.zeros(n, bool)
         perm = np.empty(n, np.int32)
-        out_pos = 0
-        from collections import deque
-        for start in range(n):
-            if visited[start]:
-                continue
-            visited[start] = True
-            queue = deque([start])
-            while queue:
-                u = queue.popleft()
-                perm[out_pos] = u
-                out_pos += 1
-                for v in sorted_r[offsets[u]:offsets[u + 1]]:
-                    if not visited[v]:
-                        visited[v] = True
-                        queue.append(v)
-        assert out_pos == n
+        from gnnra_tpu.native import get_lib
+        lib = get_lib()
+        if lib is not None:
+            import ctypes
+            lib.bfs_order(
+                offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                sorted_r.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                n, perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        else:
+            visited = np.zeros(n, bool)
+            out_pos = 0
+            from collections import deque
+            for start in range(n):
+                if visited[start]:
+                    continue
+                visited[start] = True
+                queue = deque([start])
+                while queue:
+                    u = queue.popleft()
+                    perm[out_pos] = u
+                    out_pos += 1
+                    for v in sorted_r[offsets[u]:offsets[u + 1]]:
+                        if not visited[v]:
+                            visited[v] = True
+                            queue.append(v)
+            assert out_pos == n
     else:
         raise ValueError(f"unknown reorder method {method!r}")
 
@@ -769,16 +780,31 @@ def window_dense(graph: COOGraph, r_block: int = 128,
     w_start[have] = mins_aligned[have]
     w_start = np.minimum(w_start, (max(0, n - window) // 8) * 8)
 
-    a = np.zeros((num_blocks, r_block, window), np.float32)
+    # build A in block chunks: one [B, R, W] f32 buffer would be
+    # N*W*4 bytes (18 GB at 1M nodes / W=4608); chunking keeps the f32
+    # intermediate bounded and casts to the storage dtype as it goes
+    np_dtype = jnp.dtype(dtype)    # ml_dtypes makes bfloat16 numpy-valid
     r_local = receivers - block_of * r_block
     s_local = senders - w_start[block_of]
-    np.add.at(a, (block_of, r_local, s_local), weights)
-    a = a.reshape(num_blocks * r_block, window)
-    if jnp.dtype(dtype) == jnp.int8:
-        if not (np.all(a == np.round(a)) and np.abs(a).max(initial=0) <= 127):
-            raise ValueError(
-                "int8 A tiles need integer accumulated weights in "
-                "[-127, 127]; use bf16/f32 for this graph")
+    edge_order = np.argsort(block_of, kind="stable")
+    block_counts = np.bincount(block_of, minlength=num_blocks)
+    block_starts = np.concatenate([[0], np.cumsum(block_counts)])
+    chunk_blocks = max(1, (1 << 28) // max(1, r_block * window * 4))
+    a = np.zeros((num_blocks * r_block, window), np_dtype)
+    for b0 in range(0, num_blocks, chunk_blocks):
+        b1 = min(b0 + chunk_blocks, num_blocks)
+        rows = edge_order[block_starts[b0]:block_starts[b1]]
+        sub = np.zeros((b1 - b0, r_block, window), np.float32)
+        np.add.at(sub, (block_of[rows] - b0, r_local[rows], s_local[rows]),
+                  weights[rows])
+        if jnp.dtype(dtype) == jnp.int8:
+            if not (np.all(sub == np.round(sub))
+                    and np.abs(sub).max(initial=0) <= 127):
+                raise ValueError(
+                    "int8 A tiles need integer accumulated weights in "
+                    "[-127, 127]; use bf16/f32 for this graph")
+        a[b0 * r_block:b1 * r_block] = sub.reshape(
+            (b1 - b0) * r_block, window).astype(np_dtype)
 
     return WindowedDenseGraph(
         a_dense=jnp.asarray(a, dtype=dtype),

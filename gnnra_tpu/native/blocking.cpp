@@ -85,4 +85,33 @@ int32_t fill_ring_cells(const int32_t* senders, const int32_t* receivers,
   return 0;
 }
 
+// BFS relabeling over the undirected edge set (graph.reorder_nodes 'bfs'):
+// perm[out_pos] = old id in visit order, starting a new BFS from every
+// unvisited node in ascending id order. Inputs: CSR of the undirected
+// adjacency (offsets [n+1], neighbors [2E]). O(N + E); the NumPy/deque
+// version took ~6.5 min at 1M nodes / 10M edges.
+void bfs_order(const int64_t* offsets, const int32_t* neighbors,
+               int32_t num_nodes, int32_t* perm) {
+  std::vector<uint8_t> visited(num_nodes, 0);
+  std::vector<int32_t> queue(num_nodes);
+  int64_t out_pos = 0;
+  for (int32_t start = 0; start < num_nodes; ++start) {
+    if (visited[start]) continue;
+    visited[start] = 1;
+    int64_t q_head = 0, q_tail = 0;
+    queue[q_tail++] = start;
+    while (q_head < q_tail) {
+      const int32_t u = queue[q_head++];
+      perm[out_pos++] = u;
+      for (int64_t i = offsets[u]; i < offsets[u + 1]; ++i) {
+        const int32_t v = neighbors[i];
+        if (!visited[v]) {
+          visited[v] = 1;
+          queue[q_tail++] = v;
+        }
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -57,6 +57,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
             i32p, i32p, f32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, i32p, i32p, f32p]
         lib.fill_ring_cells.restype = ctypes.c_int32
+        lib.bfs_order.argtypes = [i64p, i32p, ctypes.c_int32, i32p]
+        lib.bfs_order.restype = None
         _LIB = lib
         return _LIB
 
