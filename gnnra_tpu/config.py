@@ -229,14 +229,35 @@ def batched_config(num_envs: int = 256) -> RunConfig:
 
 @dataclasses.dataclass(frozen=True)
 class SyntheticGraphConfig:
-    """Configs 4/5: synthetic interference graphs for SpMM/SDDMM benchmarks."""
+    """Configs 4/5: synthetic interference graphs for SpMM/SDDMM benchmarks.
+
+    topology 'geometric' (default) is the scaled analog of the reference's
+    distance-threshold interference graph (Environment.py:360-376,
+    `graph.geometric_interference_graph`) — the locality that BFS
+    reordering + the windowed-dense kernel exploit (docs/RESULTS.md
+    geometric table; `gnn_dqn_sparse.default_aggregate` picks the kernel).
+    'random' is the locality-free stress topology the gather-based
+    kernels are rooflined on.
+    """
 
     num_nodes: int = 100_000
-    num_edges: int = 1_000_000
+    num_edges: int = 1_000_000         # target; geometric lands near it
     feature_dim: int = 128
     seed: int = 0
+    topology: str = "geometric"
     # Multi-host edge partitioning (config 5).
     num_partitions: int = 1
+
+    def build_graph(self):
+        """Materialize the COO graph (host-side preprocessing)."""
+        from gnnra_tpu import graph as graph_lib
+        if self.topology == "geometric":
+            _, g = graph_lib.geometric_interference_graph(
+                self.seed, self.num_nodes,
+                target_degree=self.num_edges / self.num_nodes)
+            return g
+        return graph_lib.random_graph_host(self.seed, self.num_nodes,
+                                           self.num_edges)
 
 
 def synthetic_graph_config() -> SyntheticGraphConfig:
@@ -244,7 +265,8 @@ def synthetic_graph_config() -> SyntheticGraphConfig:
 
 
 def multihost_graph_config(num_partitions: int = 4) -> SyntheticGraphConfig:
-    return SyntheticGraphConfig(num_edges=10_000_000, num_partitions=num_partitions)
+    return SyntheticGraphConfig(num_nodes=1_000_000, num_edges=10_000_000,
+                                num_partitions=num_partitions)
 
 
 PRESETS = {

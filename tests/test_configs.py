@@ -84,3 +84,16 @@ class TestBatchedHarness:
         assert np.isfinite(results["reward_per_episode"]).all()
         # replay accumulated T*num_envs transitions per train step
         assert int(agent.state.replay.size) == 2 * 2 * 5 * 4
+
+
+class TestSyntheticGraphConfig:
+    def test_build_graph_topologies(self):
+        import dataclasses
+        from gnnra_tpu.config import SyntheticGraphConfig
+        cfg = dataclasses.replace(SyntheticGraphConfig(), num_nodes=2000,
+                                  num_edges=16000)
+        g_geo = cfg.build_graph()
+        assert g_geo.num_nodes == 2000
+        assert 0.3 < g_geo.num_edges / 16000 < 3.0   # lands near target
+        g_rand = dataclasses.replace(cfg, topology="random").build_graph()
+        assert g_rand.num_edges == 16000
