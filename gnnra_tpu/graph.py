@@ -728,7 +728,7 @@ class WindowedDenseGraph:
         return int(self.a_dense.shape[1])
 
 
-def window_dense(graph: COOGraph, r_block: int = 128,
+def window_dense(graph: COOGraph, r_block: int = 256,
                  window: Optional[int] = None,
                  dtype=jnp.bfloat16) -> WindowedDenseGraph:
     """Host-side O(E + N*W/r_block...) preprocessing into the dense-window

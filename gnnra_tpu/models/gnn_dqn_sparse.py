@@ -89,7 +89,7 @@ def default_aggregate(graph: COOGraph, dtype=jnp.bfloat16,
     g_bfs, perm = graph_lib.reorder_nodes(graph, "bfs")
     receivers = np.asarray(g_bfs.receivers)
     senders = np.asarray(g_bfs.senders)
-    r_block = 128
+    r_block = 256          # measured optimum (docs/RESULTS.md sweep)
     num_blocks = max(1, -(-n // r_block))
     block_of = receivers // r_block
     mins = np.full(num_blocks, np.iinfo(np.int64).max)
