@@ -103,7 +103,9 @@ class Agent:
               log_interval: int = 200,
               schedule_episodes: Optional[int] = None,
               start_episode: int = 0,
-              save_resume_state: bool = False) -> Dict[str, np.ndarray]:
+              save_resume_state: bool = False,
+              resume_interval: Optional[int] = None
+              ) -> Dict[str, np.ndarray]:
         """Train for num_episodes. `schedule_episodes` pins the epsilon
         anneal horizon to a larger run when training in resumable segments
         (the agent's env_step counter carries across segments);
@@ -113,9 +115,11 @@ class Agent:
         resume-latest.npz at every chunk boundary containing the FULL agent
         state including the replay ring, so `resume_latest` continues
         bit-exactly (otherwise resume restores params/target/opt/env-step/
-        RNG but the replay ring restarts empty). Costs one replay-sized
-        device->host pull per chunk — enable for fault-tolerant production
-        runs (scripts/resilient_train.py does)."""
+        RNG but the replay ring restarts empty). The pull is expensive on a
+        tunnel-attached runtime (~9 s for the 100 MB ring at 1M capacity,
+        measured), so `resume_interval` sets its cadence in episodes
+        (default: every chunk — crash-rewind cost vs wall-clock tradeoff;
+        production runs with cheap restarts should raise it)."""
         tc = self.train_cfg
         num_episodes = num_episodes or tc.num_episodes
         num_train_steps = num_train_steps or tc.num_train_steps
@@ -197,11 +201,15 @@ class Agent:
                             episode=episode_no,
                             env_step=np.asarray(snap_step[g])))
                     self.save_checkpoint(start_episode + ep)
-                    if save_resume_state:
+                    if save_resume_state and (
+                            ep % (resume_interval or chunk) < chunk
+                            or ep == num_episodes):
                         self.save_resume_state(start_episode + ep)
                 elif ep % si == 0 or ep == num_episodes:
                     self.save_checkpoint(start_episode + ep)
-                    if save_resume_state:
+                    if save_resume_state and (
+                            ep % (resume_interval or chunk) < chunk
+                            or ep == num_episodes):
                         self.save_resume_state(start_episode + ep)
                 if (ep // chunk) % max(1, log_interval // chunk) == 0:
                     self._log(f"episode {ep}/{num_episodes}")

@@ -117,7 +117,13 @@ def save_async(path: str, params: Any, target_params: Any,
 def save_state(path: str, state: Any, **scalars) -> None:
     """Atomically save an arbitrary pytree (e.g. a full AgentState including
     the replay ring) — the exact-resume companion to `save`, which keeps the
-    small per-episode checkpoints free of the multi-MB replay buffers."""
+    small per-episode checkpoints free of the multi-MB replay buffers.
+
+    Uncompressed on purpose: the dominant payload is the replay ring's
+    float data, which zlib barely shrinks but costs seconds per save at
+    100 MB — full-state saves sit on the training path (resume cadence),
+    so write speed wins over size here (the small per-episode checkpoints
+    stay compressed in `save`)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     flat = _flatten(state, "state")
     for k, v in scalars.items():

@@ -54,6 +54,7 @@ def main():
     if done < episodes:
         t0 = time.time()
         results = agent.train(num_episodes=episodes - done, log_interval=200,
+                              resume_interval=1000,
                               schedule_episodes=episodes, start_episode=done,
                               save_resume_state=True)
         dt = time.time() - t0
