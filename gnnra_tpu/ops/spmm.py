@@ -490,13 +490,20 @@ def _spmm_windowed_pallas(h: jax.Array, wd, interpret: bool = False
                           ) -> jax.Array:
     from jax.experimental.pallas import tpu as pltpu
 
-    f = h.shape[-1]
+    f_in = h.shape[-1]
     r = wd.r_block
     w = wd.window
     nb = wd.num_blocks
     compute_dtype = (jnp.bfloat16 if wd.a_dense.dtype == jnp.int8
                      else wd.a_dense.dtype)
     h = h.astype(compute_dtype)
+    # the manual window DMA slices [W, F] out of h: the minor dim must be
+    # lane-aligned (Mosaic: "slice shape along dimension 1 must be aligned
+    # to tiling (128)"), so narrow feature dims are padded up
+    f = max(128, -(-f_in // 128) * 128)
+    if f != f_in:
+        h = jnp.concatenate(
+            [h, jnp.zeros((h.shape[0], f - f_in), h.dtype)], axis=-1)
     h_pad = _pad_rows(h, max(wd.num_nodes_padded, w))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -526,7 +533,7 @@ def _spmm_windowed_pallas(h: jax.Array, wd, interpret: bool = False
             transcendentals=0),
         interpret=interpret,
     )(wd.w_start, wd.a_dense, h_pad)
-    return out[:wd.num_nodes]
+    return out[:wd.num_nodes, :f_in]
 
 
 def _spmm_windowed_jnp(h: jax.Array, wd) -> jax.Array:
