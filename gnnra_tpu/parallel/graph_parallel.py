@@ -229,8 +229,14 @@ def make_ring_spmm_gspmd(mesh: Mesh, part: RingPartition,
             msgs = jax.vmap(lambda b, i: b[i])(buf, snd)   # [D, B, E, F]
             onehot = (rcv[..., None] == r_ids).astype(h.dtype)
             m = onehot * wgt[..., None].astype(h.dtype)
+            # f32 inputs force the exact contraction: TPU DEFAULT precision
+            # multiplies in bf16 (~1e-2 error, caught by the hardware
+            # parity smoke); the ring is comm/HBM-bound so this is free
+            precision = (jax.lax.Precision.HIGHEST
+                         if h.dtype == jnp.float32 else None)
             partial = jnp.einsum("dber,dbef->dbrf", m, msgs,
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=precision)
             out = out + partial.reshape(d_count, per, f).astype(h.dtype)
             if s < d_count - 1:
                 # device d's next chunk comes from d+1: a roll along the

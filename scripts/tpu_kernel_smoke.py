@@ -76,6 +76,16 @@ def main():
             lambda x: spmm.spmm_fixed_degree(x, fd), h)[1](g)[0])(h, gout)
     check("sampled blocked backward", dh, dh_ref, 1e-4, 1e-3)
 
+    # GSPMD ring at D=1 on the chip (multi-D semantics are CPU-mesh-tested;
+    # this checks the compiled single-chip ring program's numerics)
+    from jax.sharding import Mesh
+    from gnnra_tpu.parallel import graph_parallel
+    m1 = Mesh(np.array(jax.devices()[:1]), ("data",))
+    part = graph_parallel.partition_for_ring(gb, num_devices=1, r_block=256)
+    h_pad = jnp.zeros((part.nodes_per_device, f)).at[:n].set(h)
+    ring = graph_parallel.make_ring_spmm_gspmd(m1, part)
+    check("gspmd ring D=1", ring(h_pad)[:n], want, 1e-4, 1e-3)
+
     print("all TPU kernel-parity checks passed")
 
 
