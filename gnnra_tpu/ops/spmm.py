@@ -82,7 +82,9 @@ def _spmm_blocked_jnp(h: jax.Array, blocked) -> jax.Array:
     onehot = (blocked.recv_local[:, :, None] == r_ids[None, None, :])
     m = onehot.astype(h.dtype) * blocked.weights[:, :, None].astype(h.dtype)
     out = jnp.einsum("ber,bef->brf", m, msgs,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=(jax.lax.Precision.HIGHEST
+                                if h.dtype == jnp.float32 else None))
     return out.reshape(blocked.num_nodes_padded, -1)[:blocked.num_nodes]
 
 
@@ -549,7 +551,9 @@ def _spmm_windowed_jnp(h: jax.Array, wd) -> jax.Array:
     a3 = wd.a_dense.reshape(wd.num_blocks, wd.r_block, w
                             ).astype(compute_dtype)
     out = jnp.einsum("brw,bwf->brf", a3, h_win,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=(jax.lax.Precision.HIGHEST
+                                if compute_dtype == jnp.float32 else None))
     return out.reshape(-1, f)[:wd.num_nodes]
 
 
