@@ -8,10 +8,16 @@ shared-per-node weights (ModelConfig.share_weights=True), scaling the same
 3-round architecture to the synthetic 100k-node configs (BASELINE 4-5).
 
 The aggregate is injected as a closure so the same forward serves:
-  * aggregate_coo(graph)            — segment-sum (oracle / small graphs)
-  * make_spmm(fwd_blk, bwd_blk)     — Pallas kernel with custom VJP
-  * aggregate_blocked(fwd, bwd)     — same, incl. two-level layouts
-  * make_ring_spmm(mesh, part, f)   — multi-chip halo-exchange ring
+  * aggregate_coo(graph)              — segment-sum (oracle / small graphs)
+  * aggregate_blocked(fwd, bwd)       — Pallas one-hot kernel, incl.
+                                        two-level layouts (large tables)
+  * aggregate_windowed(fwd, bwd)      — zero-gather dense-window matmuls
+                                        (BFS-ordered geometric graphs)
+  * aggregate_fixed_degree(fd)        — sampled unbiased estimator
+                                        (config 4; blocked backward via
+                                        ops.spmm.make_spmm_sampled)
+  * make_ring_spmm_gspmd(mesh, part)  — multi-chip halo-exchange ring
+  * default_aggregate(graph)          — measured-policy picker
 """
 
 from __future__ import annotations
