@@ -753,6 +753,7 @@ def window_dense(graph: COOGraph, r_block: int = 256,
     weights = np.asarray(graph.weights)
     n = graph.num_nodes
     e = senders.shape[0]
+    assert r_block % 8 == 0, "r_block must be a multiple of the sublane tile"
     num_blocks = max(1, -(-n // r_block))
     n_padded = num_blocks * r_block
 
@@ -771,6 +772,7 @@ def window_dense(graph: COOGraph, r_block: int = 256,
     span = np.where(have, maxs - mins_aligned + 1, 0)
     if window is None:
         window = int(max(128, -(-int(span.max(initial=1)) // 128) * 128))
+    assert window % 8 == 0, "window must be a multiple of the sublane tile"
     if span.max(initial=0) > window:
         bad = int(np.argmax(span))
         raise ValueError(
@@ -778,7 +780,16 @@ def window_dense(graph: COOGraph, r_block: int = 256,
             f"window {window}; BFS-reorder the graph (graph.reorder_nodes) "
             "or raise `window`")
     w_start[have] = mins_aligned[have]
-    w_start = np.minimum(w_start, (max(0, n - window) // 8) * 8)
+    # Clamp window starts so [start, start+window) stays inside the PADDED
+    # feature table (the kernel pads h to max(n_padded, window) rows).
+    # Clamping against the raw n (pre round-3) could push a tail block's
+    # start below its aligned min sender when n % 8 != 0, breaking the
+    # span<=window invariant (advisor finding, n=1003 repro). n_padded and
+    # window are both 8-aligned, so the clamp value needs no re-alignment
+    # and s_local = sender - start < window is guaranteed: either
+    # start = mins_aligned (validated span) or start = n_padded - window
+    # with sender <= n-1 < n_padded.
+    w_start = np.minimum(w_start, max(0, n_padded - window))
 
     # build A in block chunks: one [B, R, W] f32 buffer would be
     # N*W*4 bytes (18 GB at 1M nodes / W=4608); chunking keeps the f32

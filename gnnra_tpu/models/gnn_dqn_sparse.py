@@ -71,21 +71,72 @@ def aggregate_windowed(fwd_wd, bwd_wd, impl: str = "pallas") -> AggregateFn:
     return lambda h: call(h, fwd_wd, bwd_wd).astype(h.dtype)
 
 
-def default_aggregate(graph: COOGraph, dtype=jnp.bfloat16,
-                      impl: str = "pallas"):
-    """Pick the measured-fastest aggregation for a topology
-    (docs/RESULTS.md, round-3 tables) and build it.
+#: Per-chip HBM of the target part (TPU v5e). The windowed layouts' A
+#: tiles must coexist with feature tables, activations, and replay state,
+#: so the policy lets the (forward + transposed-backward) A pair take at
+#: most this fraction of it.
+HBM_BYTES = 16 << 30
+A_PAIR_HBM_FRACTION = 0.6
 
-    Returns (aggregate_fn, perm | None) — when the choice involves a BFS
-    relabeling, node features must be permuted with `h_new = h_old[perm]`
-    and outputs mapped back via `graph.inverse_permutation(perm)`.
 
-    Policy:
-      * graphs whose BFS sender windows are narrow (geometric/community
-        structure) AND whose dense-window tiles fit a memory budget ->
-        windowed-dense kernel (2.5-4x the gather path);
-      * otherwise -> blocked Pallas kernel, two-level when the feature
-        table outgrows ~100 MB (the 10M-edge locality fix).
+def choose_aggregate_policy(num_nodes: int, num_edges: int, window: int,
+                            weights_are_small_integers: bool,
+                            dtype=jnp.bfloat16, feature_dim: int = 128,
+                            feature_bytes: int = 4,
+                            hbm_bytes: int = HBM_BYTES):
+    """Shape-level aggregation policy (no arrays touched): decide which
+    measured-fastest kernel (docs/RESULTS.md round-3/4 tables) a graph with
+    these statistics should use.
+
+    Returns (kind, a_dtype) with kind in {"windowed", "two_level",
+    "blocked"}; a_dtype is the windowed A-tile storage dtype (None for the
+    gather paths).
+
+    The windowed-dense kernel wins when its modeled HBM traffic undercuts
+    the gather path's AND its A tiles (forward + transposed backward) fit
+    the HBM budget:
+
+      windowed bytes ~= N*W*itemsize(A) + ceil(N/R)*W*F*2 (bf16 windows)
+                        + N*F*4 (f32 out)
+      blocked  bytes ~= E * (F*fb gather + 2*F*fb msgs round trip)
+                        + N*F*4
+
+    (both models validated against measured rates in docs/RESULTS.md —
+    the modeled 5.8x at 100k-node geometric maps to the measured 3.1x).
+    int8 A tiles are tried first when the edge weights are small integers
+    (halving the dominant A traffic; `graph.window_dense` re-validates the
+    ACCUMULATED weights during the build) unless the caller explicitly
+    requested float32 — an exact-arithmetic ask the int8/bf16 path cannot
+    honor.
+    """
+    r_block = 256              # measured optimum (docs/RESULTS.md sweep)
+    num_blocks = max(1, -(-num_nodes // r_block))
+    out_bytes = num_nodes * feature_dim * 4
+    blocked_bytes = (num_edges * feature_dim * feature_bytes * 3
+                     + out_bytes)
+    budget = int(hbm_bytes * A_PAIR_HBM_FRACTION)
+    candidates = []
+    if weights_are_small_integers and jnp.dtype(dtype) != jnp.float32:
+        candidates.append(jnp.int8)
+    candidates.append(dtype)
+    for dt in candidates:
+        a_bytes = num_nodes * window * jnp.dtype(dt).itemsize
+        win_bytes = (a_bytes + num_blocks * window * feature_dim * 2
+                     + out_bytes)
+        if 2 * a_bytes <= budget and win_bytes <= blocked_bytes:
+            return "windowed", dt
+    table_bytes = num_nodes * feature_dim * feature_bytes
+    if table_bytes > 100 * (1 << 20):
+        return "two_level", None
+    return "blocked", None
+
+
+def bfs_window_stats(graph: COOGraph, r_block: int = 256):
+    """BFS-relabel a graph and measure its receiver-block sender windows.
+
+    Returns (g_bfs, perm, window) where window is the tightest multiple of
+    128 covering the widest block's 8-aligned sender span — the input the
+    policy (and `graph.window_dense`) needs.
     """
     import numpy as np
 
@@ -95,7 +146,6 @@ def default_aggregate(graph: COOGraph, dtype=jnp.bfloat16,
     g_bfs, perm = graph_lib.reorder_nodes(graph, "bfs")
     receivers = np.asarray(g_bfs.receivers)
     senders = np.asarray(g_bfs.senders)
-    r_block = 256          # measured optimum (docs/RESULTS.md sweep)
     num_blocks = max(1, -(-n // r_block))
     block_of = receivers // r_block
     mins = np.full(num_blocks, np.iinfo(np.int64).max)
@@ -104,17 +154,58 @@ def default_aggregate(graph: COOGraph, dtype=jnp.bfloat16,
     np.maximum.at(maxs, block_of, senders)
     have = maxs >= 0
     span = int((maxs[have] - (mins[have] // 8) * 8 + 1).max(initial=1))
-    window = max(128, -(-span // 128) * 128)
-    a_bytes = n * window * jnp.dtype(dtype).itemsize
-    if a_bytes <= 1 << 30:      # 1 GiB A-tile budget
-        fwd_wd = graph_lib.window_dense(g_bfs, r_block, window, dtype)
-        bwd_wd = graph_lib.window_dense(g_bfs.transpose(), r_block=r_block,
-                                        dtype=dtype)
-        return aggregate_windowed(fwd_wd, bwd_wd, impl), perm
-    # fall back to the gather path on the ORIGINAL ordering (BFS buys the
-    # gather nothing — measured, docs/RESULTS.md geometric table)
-    table_bytes = n * 128 * 4
-    if table_bytes > 100 * (1 << 20):
+    return g_bfs, perm, max(128, -(-span // 128) * 128)
+
+
+def default_aggregate(graph: COOGraph, dtype=jnp.bfloat16,
+                      impl: str = "pallas", feature_dim: int = 128,
+                      feature_bytes: int = 4,
+                      hbm_bytes: int = HBM_BYTES):
+    """Pick the measured-fastest aggregation for a topology
+    (docs/RESULTS.md tables; decision logic in `choose_aggregate_policy`)
+    and build it.
+
+    Returns (aggregate_fn, perm | None) — when the choice involves a BFS
+    relabeling, node features must be permuted with `h_new = h_old[perm]`
+    and outputs mapped back via `graph.inverse_permutation(perm)`.
+
+    feature_dim/feature_bytes describe the model's aggregated feature
+    rows (defaults match the scaled-config benches); they size both the
+    modeled-traffic comparison and the gather path's two-level cutover.
+    """
+    import numpy as np
+
+    from gnnra_tpu import graph as graph_lib
+
+    r_block = 256
+    g_bfs, perm, window = bfs_window_stats(graph, r_block)
+    w_np = np.asarray(graph.weights)
+    ints = bool(np.all(w_np == np.round(w_np))
+                and np.abs(w_np).max(initial=0) <= 127)
+    kind, a_dtype = choose_aggregate_policy(
+        graph.num_nodes, graph.num_edges, window, ints, dtype=dtype,
+        feature_dim=feature_dim, feature_bytes=feature_bytes,
+        hbm_bytes=hbm_bytes)
+    while kind == "windowed":
+        try:
+            fwd_wd = graph_lib.window_dense(g_bfs, r_block, window, a_dtype)
+            bwd_wd = graph_lib.window_dense(g_bfs.transpose(),
+                                            r_block=r_block, dtype=a_dtype)
+            return aggregate_windowed(fwd_wd, bwd_wd, impl), perm
+        except ValueError:
+            # int8 pre-check passed but ACCUMULATED duplicate-edge weights
+            # overflowed during the build — retry without int8 eligibility
+            if jnp.dtype(a_dtype) != jnp.int8:
+                raise
+            kind, a_dtype = choose_aggregate_policy(
+                graph.num_nodes, graph.num_edges, window, False,
+                dtype=dtype, feature_dim=feature_dim,
+                feature_bytes=feature_bytes, hbm_bytes=hbm_bytes)
+    # gather path on the ORIGINAL ordering (BFS buys the gather nothing —
+    # measured, docs/RESULTS.md geometric table)
+    table_bytes = graph.num_nodes * feature_dim * feature_bytes
+    if kind == "two_level":
+        assert table_bytes > 100 * (1 << 20)
         fwd = graph_lib.block_two_level(graph, r_block=256)
         bwd = graph_lib.block_two_level(graph.transpose(), r_block=256)
     else:

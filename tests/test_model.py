@@ -423,3 +423,62 @@ class TestDefaultAggregate:
             out = np.asarray(agg(jnp.asarray(np.asarray(h)[perm])))[inv]
             want = np.asarray(spmm_lib.spmm_coo(h, g))
         np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+
+    def test_policy_selects_windowed_int8_at_measured_scales(self):
+        # Shape-level assertions of the measured policy (docs/RESULTS.md):
+        # the geometric topology's windows (measured: W=1152 at 100k
+        # nodes, W=4608 at 1M) must route to the windowed kernel with int8
+        # A tiles at BOTH scales — round 3's picker silently sent the 1M
+        # north-star scale to the 3.1x-slower two-level gather path.
+        from gnnra_tpu.models import gnn_dqn_sparse
+        pick = gnn_dqn_sparse.choose_aggregate_policy
+        assert pick(100_000, 1_070_000, 1152, True) == ("windowed", jnp.int8)
+        assert pick(1_000_000, 10_700_000, 4608, True) == \
+            ("windowed", jnp.int8)
+        # bf16 A at 1M/W=4608 is 2x9.2GB — over the HBM budget; without
+        # int8 eligibility the policy must fall back to two-level
+        kind, dt = pick(1_000_000, 10_700_000, 4608, False)
+        assert (kind, dt) == ("two_level", None)
+        # an explicit float32 ask (exact arithmetic) never auto-int8s
+        kind, dt = pick(100_000, 1_070_000, 1152, True, dtype=jnp.float32)
+        assert dt != jnp.int8
+        # random topology: window ~ N makes the dense tiles cost more
+        # modeled bytes than the gather path -> blocked
+        assert pick(20_000, 200_000, 20096, True)[0] == "blocked"
+        assert pick(1_000_000, 10_000_000, 1_000_064, True)[0] == \
+            "two_level"
+
+    def test_policy_feature_dim_parameter(self):
+        # advisor round-3 finding: the gather-path cutover hard-coded a
+        # 128-wide f32 feature table; narrow models must size it from the
+        # actual feature dim
+        from gnnra_tpu.models import gnn_dqn_sparse
+        pick = gnn_dqn_sparse.choose_aggregate_policy
+        # 1M nodes, F=16: table is 64 MB -> single-level blocked, not
+        # two-level (with F=128 the same graph crosses the 100 MB cutover)
+        assert pick(1_000_000, 10_000_000, 1_000_064, False,
+                    feature_dim=16)[0] == "blocked"
+        assert pick(1_000_000, 10_000_000, 1_000_064, False,
+                    feature_dim=128)[0] == "two_level"
+
+    def test_int8_accumulation_overflow_falls_back(self):
+        # duplicate edges whose per-cell accumulated weight exceeds 127
+        # pass the cheap integer pre-check but fail window_dense's build
+        # validation; the picker must retry without int8 instead of dying
+        from gnnra_tpu import graph as graph_lib
+        from gnnra_tpu.models import gnn_dqn_sparse
+        from gnnra_tpu.ops import spmm as spmm_lib
+        e = 200
+        senders = np.zeros(e, np.int32)         # 200 copies of edge 0->1
+        receivers = np.ones(e, np.int32)
+        g = graph_lib.COOGraph(
+            senders=jnp.asarray(senders), receivers=jnp.asarray(receivers),
+            weights=jnp.ones((e,)), num_nodes=16)
+        agg, perm = gnn_dqn_sparse.default_aggregate(g, impl="jnp")
+        h = jax.random.normal(jax.random.PRNGKey(3), (16, 8))
+        hp = h if perm is None else jnp.asarray(np.asarray(h)[perm])
+        out = np.asarray(agg(hp))
+        if perm is not None:
+            out = out[graph_lib.inverse_permutation(perm)]
+        want = np.asarray(spmm_lib.spmm_coo(h, g))
+        np.testing.assert_allclose(out, want, rtol=2e-2, atol=2e-2)

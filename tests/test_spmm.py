@@ -446,6 +446,29 @@ class TestWindowedDenseSpmm:
         assert out[7, 3] == pytest.approx(2.5)
         assert out[7, 5] == pytest.approx(1.0)
 
+    def test_non_multiple_of_8_node_count(self):
+        # Advisor round-3 repro: with n % 8 != 0 the tail block's window
+        # clamp (against raw n, aligned down to 8) could shift the start
+        # BELOW the block's aligned min sender and break s_local < window
+        # — an IndexError in preprocessing. The clamp now uses n_padded.
+        # n=1003: old clamp = ((1003-128)//8)*8 = 872; a tail block with
+        # senders in [880, 1002] (span 123 <= 128, aligned min 880) was
+        # forced to start 872, putting sender 1002 at slot 130 >= 128.
+        n, r_block, window = 1003, 128, 128
+        senders = np.array([0, 128, 256, 384, 512, 640, 768,
+                            880, 1002, 1002], np.int32)
+        receivers = np.array([0, 128, 256, 384, 512, 640, 768,
+                              1000, 896, 1002], np.int32)
+        g = graph_lib.COOGraph(
+            senders=jnp.asarray(senders), receivers=jnp.asarray(receivers),
+            weights=jnp.ones((senders.shape[0],)), num_nodes=n)
+        wd = graph_lib.window_dense(g, r_block=r_block, window=window,
+                                    dtype=jnp.float32)
+        h = jax.random.normal(jax.random.PRNGKey(5), (n, 8))
+        got = np.asarray(spmm.spmm_windowed(h, wd, impl="jnp"))
+        want = np.asarray(spmm.spmm_coo(h, g))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
     def test_grad_matches_segment_sum(self):
         g = geo_bfs_graph(weighted=True)
         fwd = graph_lib.window_dense(g, 128, 512, dtype=jnp.float32)
