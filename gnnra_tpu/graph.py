@@ -824,6 +824,33 @@ def window_dense(graph: COOGraph, r_block: int = 256,
         num_edges=e)
 
 
+def window_edge_slots(graph: COOGraph, wd: WindowedDenseGraph
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """Dense-A slot (row, col) per COO edge: row = global padded receiver
+    row, col = sender - w_start[block].
+
+    Host-side O(E) preprocessing for the learned-edge-weight windowed path
+    (`ops.spmm.make_weighted_spmm_windowed`): per-edge weights scatter-add
+    into the dense A through these slots (duplicate edges share a slot and
+    accumulate, matching `window_dense`'s own build), and per-edge weight
+    grads gather back out of the dense SDDMM result through them. Kept as
+    an index pair, not a flat offset — row*W overflows int32 at config-5
+    scale (1M nodes x W=4608).
+    """
+    senders = np.asarray(graph.senders)
+    receivers = np.asarray(graph.receivers)
+    w = wd.window
+    r_block = wd.r_block
+    block_of = receivers // r_block
+    w_start = np.asarray(wd.w_start).astype(np.int64)
+    s_local = senders - w_start[block_of]
+    if s_local.min(initial=0) < 0 or s_local.max(initial=0) >= w:
+        raise ValueError("edge outside its block's window — the layout was "
+                         "built from a different graph/ordering")
+    rows = block_of.astype(np.int64) * r_block + (receivers % r_block)
+    return (jnp.asarray(rows, jnp.int32), jnp.asarray(s_local, jnp.int32))
+
+
 def partition_edges(graph: COOGraph, num_partitions: int
                     ) -> Tuple[COOGraph, ...]:
     """Split the edge list into contiguous shards (for edge-partitioned

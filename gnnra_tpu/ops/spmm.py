@@ -514,7 +514,7 @@ def _spmm_windowed_pallas(h: jax.Array, wd, interpret: bool = False
         in_specs=[
             pl.BlockSpec((r, w), lambda b, ws: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((r, f), lambda b, ws: (b, 0),
                                memory_space=pltpu.VMEM),
@@ -619,6 +619,184 @@ def make_spmm_windowed_call(impl: Impl = "pallas"):
         tok, fwd_wd, bwd_wd = res
         dh = spmm_windowed(g, bwd_wd, impl).astype(tok.dtype)
         return dh, _zeros_like_tree(fwd_wd), _zeros_like_tree(bwd_wd)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _sddmm_windowed_kernel(wstart_ref, g_ref, h_hbm, out_ref, h_win, sems):
+    """One grid step = one receiver block: out_block = g_block @ h_window^T.
+
+    The dense windowed SDDMM — the exact gradient-of-A counterpart of
+    `_windowed_kernel`: dL/dA[r, c] = <g[row r], h[w_start + c]>. Same
+    zero-gather structure (A's sparsity is applied afterwards by gathering
+    the edge slots out of this dense [R, W] result), same double-buffered
+    manual window DMA, and the matmul is again exactly MXU-shaped.
+
+    g_ref: [R, F]; h_hbm: [N_pad, F] (ANY/HBM); out_ref: [R, W] f32;
+    h_win: [2, W, F] VMEM scratch; sems: 2 DMA semaphores.
+    """
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    w = h_win.shape[1]
+
+    def dma(i):
+        from jax.experimental.pallas import tpu as pltpu
+        start = pl.multiple_of(wstart_ref[i], 8)
+        return pltpu.make_async_copy(
+            h_hbm.at[pl.ds(start, w), :],
+            h_win.at[jax.lax.rem(i, 2)],
+            sems.at[jax.lax.rem(i, 2)])
+
+    @pl.when(b == 0)
+    def _():
+        dma(0).start()
+
+    @pl.when(b + 1 < nb)
+    def _():
+        dma(b + 1).start()
+
+    dma(b).wait()
+    g = g_ref[:]                                          # [R, F]
+    h = h_win[jax.lax.rem(b, 2)]                          # [W, F]
+    precision = (jax.lax.Precision.HIGHEST
+                 if g.dtype == jnp.float32 else None)
+    out_ref[:] = jax.lax.dot_general(
+        g, h, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+
+
+def sddmm_windowed_dense(g: jax.Array, h: jax.Array, wd,
+                         impl: Impl = "pallas") -> jax.Array:
+    """Dense windowed SDDMM: D[row, c] = <g[row], h[w_start[block]+c]> for
+    every dense A slot of a `graph.WindowedDenseGraph`. Returns
+    [B*R_BLOCK, W] f32; per-edge scores are `D[rows, cols]` with the maps
+    from `graph.window_edge_slots`.
+
+    This is `sddmm_coo` restricted to the layout's window structure,
+    computed as one MXU matmul per block with zero gathers — the windowed
+    analog of `sddmm_blocked` (reference edge-score semantics anchor:
+    the dense batch_dot aggregation BS_brain.py:69-76 whose weight grads
+    these are).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    f_in = g.shape[-1]
+    r = wd.r_block
+    w = wd.window
+    nb = wd.num_blocks
+    compute_dtype = (jnp.bfloat16 if wd.a_dense.dtype == jnp.int8
+                     else wd.a_dense.dtype)
+    g = g.astype(compute_dtype)
+    h = h.astype(compute_dtype)
+
+    if impl == "jnp":
+        h_pad = _pad_rows(h, max(wd.num_nodes_padded, w))
+        idx = wd.w_start[:, None] + jnp.arange(w)[None, :]
+        h_win = h_pad[idx]                                # [B, W, F]
+        g3 = _pad_rows(g, wd.num_nodes_padded).reshape(nb, r, f_in)
+        out = jnp.einsum("brf,bwf->brw", g3, h_win,
+                         preferred_element_type=jnp.float32,
+                         precision=(jax.lax.Precision.HIGHEST
+                                    if compute_dtype == jnp.float32
+                                    else None))
+        return out.reshape(nb * r, w)
+
+    # manual window DMA needs a lane-aligned minor dim (see
+    # _spmm_windowed_pallas); pad narrow feature dims up to 128
+    f = max(128, -(-f_in // 128) * 128)
+    if f != f_in:
+        pad = jnp.zeros((g.shape[0], f - f_in), compute_dtype)
+        g = jnp.concatenate([g, pad], axis=-1)
+        h = jnp.concatenate([h, jnp.zeros((h.shape[0], f - f_in),
+                                          compute_dtype)], axis=-1)
+    g_pad = _pad_rows(g, wd.num_nodes_padded)
+    h_pad = _pad_rows(h, max(wd.num_nodes_padded, w))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((r, f), lambda b, ws: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((r, w), lambda b, ws: (b, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, w, f), h_pad.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        _sddmm_windowed_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * r, w), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * r * w * f,
+            bytes_accessed=(nb * (r + w) * f * h_pad.dtype.itemsize
+                            + nb * r * w * 4),
+            transcendentals=0),
+        interpret=(impl == "pallas_interpret"),
+    )(wd.w_start, g_pad, h_pad)
+
+
+def make_weighted_spmm_windowed(fwd_wd, fwd_slots, bwd_wd, bwd_slots,
+                                impl: Impl = "pallas"):
+    """Differentiable windowed SpMM in BOTH node features and per-edge
+    weights — the learned-edge-weight (attention-style) path on the FAST
+    layout (round-3 gap: weighted/SDDMM support existed only on the slow
+    single-level `BlockedGraph`).
+
+    Returns f(h [N, F], w [E]) -> [N, F] f32 with w in original COO edge
+    order:
+
+      out[r]   = sum_e w_e h[s_e]       (dense-window MXU matmul; the A
+                                         tiles are rebuilt from w by a
+                                         1-scalar-per-edge scatter-add)
+      dL/dh[s] = sum_e w_e g[r_e]       (same kernel, transposed layout)
+      dL/dw_e  = <g[r_e], h[s_e]>       (dense windowed SDDMM + a
+                                         1-scalar-per-edge gather)
+
+    fwd_wd/bwd_wd: `graph.window_dense` layouts of the graph and its
+    transpose (their stored a_dense supplies dtype/shape only — float32 or
+    bfloat16; int8 tiles cannot hold learned weights and raise).
+    fwd_slots/bwd_slots: `graph.window_edge_slots` maps for each layout.
+    Duplicate edges accumulate into a shared A slot in the forward and
+    read the shared slot's score in the backward — both exact, since the
+    output is linear in each w_e through the accumulated cell.
+    """
+    from gnnra_tpu.graph import WindowedDenseGraph
+
+    if jnp.dtype(fwd_wd.a_dense.dtype) == jnp.int8 or \
+            jnp.dtype(bwd_wd.a_dense.dtype) == jnp.int8:
+        raise ValueError("learned edge weights need float A tiles; build "
+                         "the layouts with dtype=bfloat16 or float32")
+
+    def _build(wd, slots, w):
+        rows, cols = slots
+        a = jnp.zeros(wd.a_dense.shape, jnp.float32
+                      ).at[rows, cols].add(w.astype(jnp.float32))
+        return WindowedDenseGraph(
+            a_dense=a.astype(wd.a_dense.dtype), w_start=wd.w_start,
+            num_nodes=wd.num_nodes, num_nodes_padded=wd.num_nodes_padded,
+            r_block=wd.r_block, num_edges=wd.num_edges)
+
+    @jax.custom_vjp
+    def f(h, w):
+        return spmm_windowed(h, _build(fwd_wd, fwd_slots, w), impl)
+
+    def fwd(h, w):
+        return f(h, w), (h, w)
+
+    def bwd(res, g):
+        h, w = res
+        dh = spmm_windowed(g, _build(bwd_wd, bwd_slots, w), impl
+                           )[:h.shape[0]].astype(h.dtype)
+        rows, cols = fwd_slots
+        scores = sddmm_windowed_dense(g, h, fwd_wd, impl)
+        dw = scores[rows, cols].astype(w.dtype)
+        return dh, dw
 
     f.defvjp(fwd, bwd)
     return f

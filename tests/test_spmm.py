@@ -482,6 +482,72 @@ class TestWindowedDenseSpmm:
         np.testing.assert_allclose(np.asarray(dh), np.asarray(dh_ref),
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("impl", ["jnp", "pallas_interpret"])
+    def test_weighted_grads_match_coo_autodiff(self, impl):
+        # learned-edge-weight path on the fast layout (round-3 missing
+        # item 4): value, dh AND dw must equal autodiff through the COO
+        # segment-sum oracle with the weights as a variable
+        gb = geo_bfs_graph()
+        fwd = graph_lib.window_dense(gb, 128, 512, dtype=jnp.float32)
+        bwd = graph_lib.window_dense(gb.transpose(), 128, 512,
+                                     dtype=jnp.float32)
+        fs = graph_lib.window_edge_slots(gb, fwd)
+        bs = graph_lib.window_edge_slots(gb.transpose(), bwd)
+        op = spmm.make_weighted_spmm_windowed(fwd, fs, bwd, bs, impl=impl)
+
+        n, e = gb.num_nodes, gb.num_edges
+        h = jax.random.normal(jax.random.PRNGKey(3), (n, 32))
+        w = jax.random.uniform(jax.random.PRNGKey(4), (e,)) + 0.5
+        gout = jax.random.normal(jax.random.PRNGKey(5), (n, 32))
+
+        def ref(h, w):
+            gw = graph_lib.COOGraph(senders=gb.senders,
+                                    receivers=gb.receivers,
+                                    weights=w, num_nodes=n)
+            return spmm.spmm_coo(h, gw)
+
+        np.testing.assert_allclose(np.asarray(op(h, w)),
+                                   np.asarray(ref(h, w)),
+                                   rtol=1e-4, atol=1e-4)
+        loss = lambda f: lambda *a: jnp.sum(f(*a) * gout)
+        dh, dw = jax.grad(loss(op), argnums=(0, 1))(h, w)
+        dh_r, dw_r = jax.grad(loss(ref), argnums=(0, 1))(h, w)
+        np.testing.assert_allclose(np.asarray(dh), np.asarray(dh_r),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_r),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_weighted_duplicate_edges_accumulate(self):
+        # duplicates share a dense A slot; forward accumulates and each
+        # copy's dw reads the shared slot's score — exact by linearity
+        g = graph_lib.COOGraph(
+            senders=jnp.asarray([3, 3, 5], jnp.int32),
+            receivers=jnp.asarray([7, 7, 7], jnp.int32),
+            weights=jnp.ones((3,)), num_nodes=16)
+        fwd = graph_lib.window_dense(g, 8, 16, dtype=jnp.float32)
+        bwd = graph_lib.window_dense(g.transpose(), 8, 16,
+                                     dtype=jnp.float32)
+        fs = graph_lib.window_edge_slots(g, fwd)
+        bs = graph_lib.window_edge_slots(g.transpose(), bwd)
+        op = spmm.make_weighted_spmm_windowed(fwd, fs, bwd, bs, impl="jnp")
+        h = jnp.eye(16)
+        w = jnp.asarray([2.0, 0.5, 1.0])
+        out = np.asarray(op(h, w))
+        assert out[7, 3] == pytest.approx(2.5)
+        dw = jax.grad(lambda w: op(h, w)[7, 3])(w)
+        np.testing.assert_allclose(np.asarray(dw), [1.0, 1.0, 0.0],
+                                   atol=1e-6)
+
+    def test_weighted_rejects_int8_layout(self):
+        g = geo_bfs_graph()
+        fwd = graph_lib.window_dense(g, 128, 512, dtype=jnp.int8)
+        bwd = graph_lib.window_dense(g.transpose(), 128, 512,
+                                     dtype=jnp.int8)
+        fs = graph_lib.window_edge_slots(g, fwd)
+        bs = graph_lib.window_edge_slots(g.transpose(), bwd)
+        with pytest.raises(ValueError, match="int8|float"):
+            spmm.make_weighted_spmm_windowed(fwd, fs, bwd, bs)
+
     def test_call_style_grad(self):
         g = geo_bfs_graph(weighted=True)
         fwd = graph_lib.window_dense(g, 128, 512, dtype=jnp.float32)
