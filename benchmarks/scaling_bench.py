@@ -1,10 +1,22 @@
 """Multi-device SpMM scaling benchmark (BASELINE config 5 harness).
 
-Measures edges/s of the ring halo-exchange SpMM at 1, 2, 4, ... devices on
-whatever mesh is available and reports scaling efficiency vs the 1-device
-blocked kernel. On real multi-chip hardware the ≥80% 1→4-host target is
-measured here; on a single chip / virtual CPU devices the numbers are
-functional-only (noted in the output).
+Measures edges/s of the GSPMD ring halo-exchange SpMM at 1, 2, 4, ...
+devices on whatever mesh is available and reports scaling efficiency vs
+the 1-device local kernel. Two ring variants are benched:
+
+  * one-hot GSPMD ring (`make_ring_spmm_gspmd`) on the uniform random
+    topology — the locality-free worst case;
+  * windowed GSPMD ring (`make_ring_spmm_windowed_gspmd`) on the
+    BFS-ordered geometric topology — the domain's measured-fastest local
+    stage (round-4 composition).
+
+The deprecated shard_map ring is NOT benched: every computation inside a
+shard_map body runs ~20x degraded on this TPU runtime (docs/RESULTS.md
+platform findings); it remains only as the CPU-mesh semantics reference.
+
+On real multi-chip hardware the >=80% 1->4-host target is measured here;
+on a single chip / virtual CPU devices the numbers are functional-only
+(noted in the output).
 
 Usage: python benchmarks/scaling_bench.py [--nodes N] [--edges E] [--dim F]
 """
@@ -23,21 +35,23 @@ import jax
 import jax.numpy as jnp
 
 
-def bench_chain(op, h, iters=10):
+def bench_chain(op, h, iters=10, data=()):
     """Serialized-chain timing with forced execution (the runtime can elide
     dispatches whose results are never transferred — see
-    benchmarks/spmm_bench.py::bench for the full discipline)."""
+    benchmarks/spmm_bench.py::bench for the full discipline). Layout
+    arrays go in `data` so they enter the program as runtime PARAMETERS,
+    not HLO constants (remote-compile HTTP 413 trap)."""
     @jax.jit
-    def loop(h):
+    def loop(h, *data):
         def body(_, h):
-            out = op(h)
+            out = op(h, *data)
             return h.at[0, 0].add(out.ravel()[0] * 1e-3)
         return jax.lax.fori_loop(0, iters, body, h)
 
-    h = loop(h)
+    h = loop(h, *data)
     float(h.ravel()[0])                  # compile + warm + force
     t0 = time.perf_counter()
-    h = loop(h)
+    h = loop(h, *data)
     float(h.ravel()[0])                  # scalar pull forces the chain
     return (time.perf_counter() - t0) / iters
 
@@ -49,44 +63,102 @@ def main(argv=None):
     parser.add_argument("--dim", type=int, default=128)
     parser.add_argument("--impl", default="pallas",
                         help="'pallas' on TPU, 'jnp' on CPU meshes")
+    parser.add_argument("--skip-onehot", action="store_true")
+    parser.add_argument("--skip-windowed", action="store_true")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (the sitecustomize "
+                        "hook pins TPU and OUTRANKS JAX_PLATFORMS; pair "
+                        "with XLA_FLAGS=--xla_force_host_platform_"
+                        "device_count=N for a virtual mesh)")
     args = parser.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from gnnra_tpu import graph as graph_lib
     from gnnra_tpu.ops import spmm
     from gnnra_tpu.parallel import graph_parallel, mesh as mesh_lib
 
     n, e, f = args.nodes, args.edges, args.dim
-    g = graph_lib.random_graph_host(0, n, e)
     n_dev_all = jax.device_count()
     print(f"# backend={jax.default_backend()} devices={n_dev_all} "
           f"(virtual-device numbers are functional-only)")
 
-    # 1-device baseline: blocked kernel
-    blocked = graph_lib.block_by_receiver(g, r_block=128)
-    h = jax.random.normal(jax.random.PRNGKey(1), (n, f))
-    t1 = bench_chain(lambda h: spmm.spmm_blocked(h, blocked, impl=args.impl),
-                     h)
-    base_rate = e / t1
-    print(json.dumps({"metric": "spmm_1dev", "value": round(base_rate / 1e9, 4),
-                      "unit": "Gedges/s", "vs_baseline": 1.0}))
+    if not args.skip_onehot:
+        g = graph_lib.random_graph_host(0, n, e)
+        # 1-device baseline: blocked Pallas kernel (the local compute the
+        # ring is amortizing on the random topology)
+        blocked = graph_lib.block_by_receiver(g, r_block=256)
+        h = jax.random.normal(jax.random.PRNGKey(1), (n, f))
+        t1 = bench_chain(
+            lambda h: spmm.spmm_blocked(h, blocked, impl=args.impl), h)
+        base_rate = e / t1
+        print(json.dumps({"metric": "spmm_1dev_blocked",
+                          "value": round(base_rate / 1e9, 4),
+                          "unit": "Gedges/s", "vs_baseline": 1.0}))
+        d = 1
+        while d <= n_dev_all:
+            mesh = mesh_lib.make_mesh((d,), ("data",),
+                                      devices=jax.devices()[:d])
+            part = graph_parallel.partition_for_ring(g, num_devices=d,
+                                                     r_block=256)
+            n_pad = part.num_devices * part.nodes_per_device
+            ring = graph_parallel.make_ring_spmm_gspmd(mesh, part)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            h_pad = jax.device_put(
+                jnp.zeros((n_pad, f)).at[:n].set(h),
+                NamedSharding(mesh, P("data")))
+            t = bench_chain(ring.run, h_pad, data=ring.prepare())
+            rate = e / t
+            eff = rate / (base_rate * d)
+            print(json.dumps({
+                "metric": f"spmm_ring_gspmd_{d}dev",
+                "value": round(rate / 1e9, 4), "unit": "Gedges/s",
+                "vs_baseline": round(rate / base_rate, 3),
+            }) + f"  # scaling efficiency {eff:.1%}")
+            d *= 2
 
-    d = 2
-    while d <= n_dev_all:
-        mesh = mesh_lib.make_mesh((d,), ("data",), devices=jax.devices()[:d])
-        part = graph_parallel.partition_for_ring(g, num_devices=d,
-                                                 r_block=128)
-        n_pad = part.num_devices * part.nodes_per_device
-        ring = graph_parallel.make_ring_spmm(mesh, part, f, impl=args.impl)
-        h_pad = jnp.zeros((n_pad, f)).at[:n].set(h)
-        t = bench_chain(lambda hp: ring(hp), h_pad)
-        rate = e / t
-        eff = rate / (base_rate * d)
-        print(json.dumps({
-            "metric": f"spmm_ring_{d}dev", "value": round(rate / 1e9, 4),
-            "unit": "Gedges/s",
-            "vs_baseline": round(rate / base_rate, 3),
-        }) + f"  # scaling efficiency {eff:.1%}")
-        d *= 2
+    if not args.skip_windowed:
+        t0 = time.time()
+        _, g_geo = graph_lib.geometric_interference_graph(
+            0, n, target_degree=max(4.0, e / n))
+        gb, _ = graph_lib.reorder_nodes(g_geo, "bfs")
+        e_geo = gb.num_edges
+        print(f"# geometric graph: {n} nodes / {e_geo} edges, "
+              f"prep {time.time() - t0:.1f}s")
+        wd = graph_lib.window_dense(gb, r_block=256)
+        h = jax.random.normal(jax.random.PRNGKey(2), (n, f)
+                              ).astype(jnp.bfloat16)
+        t1 = bench_chain(
+            lambda h: spmm.spmm_windowed(h, wd, impl=args.impl
+                                         ).astype(h.dtype), h)
+        base_rate = e_geo / t1
+        print(json.dumps({"metric": "spmm_1dev_windowed",
+                          "value": round(base_rate / 1e9, 4),
+                          "unit": "Gedges/s", "vs_baseline": 1.0}))
+        d = 1
+        while d <= n_dev_all:
+            mesh = mesh_lib.make_mesh((d,), ("data",),
+                                      devices=jax.devices()[:d])
+            part = graph_parallel.partition_for_ring_windowed(
+                gb, num_devices=d, r_block=256)
+            n_pad = part.num_devices * part.nodes_per_device
+            ring = graph_parallel.make_ring_spmm_windowed_gspmd(mesh, part)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            h_pad = jax.device_put(
+                jnp.zeros((n_pad, f), h.dtype).at[:n].set(h),
+                NamedSharding(mesh, P("data")))
+            t = bench_chain(
+                lambda hp, a, ws, br: ring.run(hp, a, ws, br
+                                               ).astype(hp.dtype),
+                h_pad, data=ring.prepare())
+            rate = e_geo / t
+            eff = rate / (base_rate * d)
+            print(json.dumps({
+                "metric": f"spmm_ring_windowed_{d}dev",
+                "value": round(rate / 1e9, 4), "unit": "Gedges/s",
+                "vs_baseline": round(rate / base_rate, 3),
+            }) + f"  # scaling efficiency {eff:.1%}")
+            d *= 2
 
 
 if __name__ == "__main__":

@@ -247,12 +247,219 @@ def make_ring_spmm_gspmd(mesh: Mesh, part: RingPartition,
     from jax.sharding import NamedSharding
     sh_rows = NamedSharding(mesh, P(axis))
 
+    def prepare():
+        """Device-put the layout arrays once (row-sharded). Benchmarks MUST
+        pass these to `call.run` as ARGUMENTS — wrapping `call` itself in
+        another jit would embed them as HLO constants (the remote-compile
+        HTTP 413 trap, docs/RESULTS.md)."""
+        return jax.device_put((part.senders, part.recv_local, part.weights),
+                              NamedSharding(mesh, P(axis)))
+
     def call(h):
         h = jax.device_put(h, sh_rows)
-        parts = jax.device_put((part.senders, part.recv_local, part.weights),
-                               NamedSharding(mesh, P(axis)))
-        return run(h, *parts)
+        return run(h, *prepare())
 
+    call.run = run
+    call.prepare = prepare
+    return call
+
+
+@dataclasses.dataclass(frozen=True)
+class RingWindowedPartition:
+    """Preprocessed layout for `make_ring_spmm_windowed_gspmd`: the GSPMD
+    ring with the measured-fastest (windowed-dense) local stage.
+
+    Per ring step s, device d aggregates the edges whose receivers live in
+    its node chunk and whose senders live in chunk (d+s) mod D. On a
+    BFS-ordered geometric graph partitioned contiguously, step 0 carries
+    ~all edges with the same narrow sender windows as the single-chip
+    windowed layout, and steps >0 carry only chunk-boundary edges — so the
+    per-step stacked block lists are COMPACT (only blocks that actually
+    have edges at that step, padded across devices to a uniform count).
+
+    Fields are per-step tuples (shapes differ across steps):
+      a_dense[s]:     [D, B_s * r_block, W_s] storage-dtype A tiles
+      w_start[s]:     [D, B_s] int32 chunk-LOCAL window starts (8-aligned)
+      block_rows[s]:  [D, B_s] int32 receiver-block index inside the
+                      device's chunk (padding blocks -> 0 with zero A)
+    """
+
+    a_dense: tuple
+    w_start: tuple
+    block_rows: tuple
+    num_devices: int
+    nodes_per_device: int
+    r_block: int
+    num_nodes: int
+
+    @property
+    def window(self):
+        return tuple(int(a.shape[-1]) for a in self.a_dense)
+
+    @property
+    def num_step_blocks(self):
+        return tuple(int(ws.shape[-1]) for ws in self.w_start)
+
+
+def partition_for_ring_windowed(graph: graph_lib.COOGraph,
+                                num_devices: int, r_block: int = 256,
+                                dtype=jnp.bfloat16
+                                ) -> RingWindowedPartition:
+    """Host-side preprocessing of a BFS-ordered geometric graph into the
+    ring x windowed layout (round-4 composition: the GSPMD ring's local
+    stage was the one-hot einsum — random-topology machinery measured 3.1x
+    slower than the windowed kernel on the domain's geometric topology).
+
+    Requires the graph to already be BFS-ordered (`graph.reorder_nodes`);
+    contiguous node chunks then keep each step's sender windows narrow.
+    Reference anchors: the aggregation being scaled BS_brain.py:69-76,
+    topology Environment.py:360-376.
+    """
+    import numpy as np
+
+    n = graph.num_nodes
+    d_count = num_devices
+    per = -(-n // d_count)
+    per = -(-per // r_block) * r_block
+    senders = np.asarray(graph.senders).astype(np.int64)
+    receivers = np.asarray(graph.receivers).astype(np.int64)
+    weights = np.asarray(graph.weights).astype(np.float32)
+    blocks_local = per // r_block
+    np_dtype = jnp.dtype(dtype)
+
+    d_of = receivers // per
+    c_of = senders // per
+    step_of = (c_of - d_of) % d_count
+    r_local = receivers - d_of * per
+    s_local_chunk = senders - c_of * per
+    b_of = r_local // r_block
+
+    a_steps, ws_steps, br_steps = [], [], []
+    for s in range(d_count):
+        m = step_of == s
+        es, er_b, er_r = s_local_chunk[m], b_of[m], r_local[m] % r_block
+        ed, ew = d_of[m], weights[m]
+        # per-(device, local block) sender spans
+        cell = ed * blocks_local + er_b
+        mins = np.full(d_count * blocks_local, np.iinfo(np.int64).max)
+        maxs = np.full(d_count * blocks_local, -1)
+        np.minimum.at(mins, cell, es)
+        np.maximum.at(maxs, cell, es)
+        have = (maxs >= 0).reshape(d_count, blocks_local)
+        mins_al = (np.where(maxs >= 0, mins, 0) // 8) * 8
+        span = np.where(maxs >= 0, maxs - mins_al + 1, 0)
+        w_s = int(max(128, -(-int(span.max(initial=1)) // 128) * 128))
+        w_s = min(w_s, per)
+        if span.max(initial=0) > w_s:
+            raise ValueError(
+                f"ring step {s}: sender span {int(span.max())} exceeds the "
+                f"chunk-clamped window {w_s}; BFS-reorder the graph first")
+        b_s = int(have.sum(axis=1).max(initial=1))
+        b_s = max(1, b_s)
+
+        # compact per-device block lists: block_rows[d, j] = j-th nonempty
+        # local block of device d at this step (padding -> block 0, A = 0)
+        block_rows = np.zeros((d_count, b_s), np.int64)
+        slot_of_cell = np.full(d_count * blocks_local, -1, np.int64)
+        for d in range(d_count):
+            nz = np.nonzero(have[d])[0]
+            block_rows[d, :nz.shape[0]] = nz
+            slot_of_cell[d * blocks_local + nz] = d * b_s + np.arange(
+                nz.shape[0])
+
+        starts = np.minimum(mins_al, per - w_s).reshape(d_count,
+                                                        blocks_local)
+        w_start = np.take_along_axis(starts, block_rows, axis=1)
+
+        a = np.zeros((d_count * b_s * r_block, w_s), np.float32)
+        slot = slot_of_cell[cell]
+        col = es - starts[ed, er_b]
+        rows = slot * r_block + er_r
+        np.add.at(a, (rows, col), ew)
+        if np_dtype == jnp.int8:
+            if not (np.all(a == np.round(a)) and np.abs(a).max(initial=0)
+                    <= 127):
+                raise ValueError("int8 ring tiles need integer accumulated "
+                                 "weights in [-127, 127]")
+        a_steps.append(jnp.asarray(
+            a.reshape(d_count, b_s * r_block, w_s).astype(np_dtype)))
+        ws_steps.append(jnp.asarray(w_start, jnp.int32))
+        br_steps.append(jnp.asarray(block_rows, jnp.int32))
+
+    return RingWindowedPartition(
+        a_dense=tuple(a_steps), w_start=tuple(ws_steps),
+        block_rows=tuple(br_steps), num_devices=d_count,
+        nodes_per_device=per, r_block=r_block, num_nodes=n)
+
+
+def make_ring_spmm_windowed_gspmd(mesh: Mesh, part: RingWindowedPartition,
+                                  axis: str = "data"):
+    """GSPMD ring SpMM whose local stage is the windowed-dense matmul.
+
+    Same program structure as `make_ring_spmm_gspmd` (circulating [D, per,
+    F] buffer sharded on the device axis; `jnp.roll` along it = XLA
+    collective-permute over ICI), but each step's local aggregation is the
+    dense-window einsum over that step's compact block list instead of the
+    one-hot gather+einsum — the window "gather" is a batch-sharded
+    take_along_axis of CONTIGUOUS rows (XLA keeps it local per device),
+    the contraction is exactly MXU-shaped, and cross-chunk steps touch
+    only the few boundary blocks that have edges.
+
+    The Pallas windowed kernel itself cannot be used here: pallas_call
+    under GSPMD requires shard_map, whose manual-mode computations run
+    ~20x degraded on this runtime (docs/RESULTS.md platform findings), so
+    the local stage is expressed in jnp for XLA to partition. h:
+    [D*per, F] row-sharded; returns [D*per, F] row-sharded f32.
+    """
+    d_count = part.num_devices
+    per = part.nodes_per_device
+    r_block = part.r_block
+    blocks_local = per // r_block
+
+    @jax.jit
+    def run(h, a_steps, ws_steps, br_steps):
+        f = h.shape[-1]
+        compute_dtype = h.dtype
+        buf = h.reshape(d_count, per, f)
+        out = jnp.zeros((d_count, blocks_local, r_block, f), jnp.float32)
+        for s in range(d_count):
+            a = a_steps[s]
+            w_s = a.shape[-1]
+            b_s = ws_steps[s].shape[-1]
+            a3 = a.reshape(d_count, b_s, r_block, w_s)
+            if a3.dtype == jnp.int8:
+                a3 = a3.astype(jnp.bfloat16)
+            a3 = a3.astype(compute_dtype)
+            idx = ws_steps[s][:, :, None] + jnp.arange(w_s)[None, None, :]
+            h_win = jax.vmap(lambda bd, ix: bd[ix])(buf, idx)  # [D,B,W,F]
+            precision = (jax.lax.Precision.HIGHEST
+                         if compute_dtype == jnp.float32 else None)
+            partial = jnp.einsum("dbrw,dbwf->dbrf", a3, h_win,
+                                 preferred_element_type=jnp.float32,
+                                 precision=precision)
+            out = jax.vmap(lambda o, bi, p: o.at[bi].add(p))(
+                out, br_steps[s], partial)
+            if s < d_count - 1:
+                buf = jnp.roll(buf, shift=-1, axis=0)
+        return out.reshape(d_count * per, f)
+
+    from jax.sharding import NamedSharding
+    sh_rows = NamedSharding(mesh, P(axis))
+
+    def prepare():
+        """Device-put the layout arrays once (row-sharded); pass to
+        `call.run` as arguments in benchmark chains (see
+        make_ring_spmm_gspmd.prepare)."""
+        return (jax.device_put(part.a_dense, sh_rows),
+                jax.device_put(part.w_start, sh_rows),
+                jax.device_put(part.block_rows, sh_rows))
+
+    def call(h):
+        h = jax.device_put(h, sh_rows)
+        return run(h, *prepare())
+
+    call.run = run
+    call.prepare = prepare
     return call
 
 
