@@ -1,0 +1,207 @@
+"""Per-kernel HBM roofline with EXPLICIT byte accounting (round 4).
+
+Round 3 left the windowed kernel's "~95% of ceiling" claim unaudited, and
+its accounting basis (copy-through vs pure-read bandwidth) muddled. This
+bench fixes the basis once:
+
+  * ALL bandwidths here are TOTAL BYTES MOVED (reads + writes) per second.
+  * `hbm_read_*`:  a Pallas sum-reduction over a large 2-D array — moves
+    ~S bytes (pure read; the accumulator block is VMEM-resident).
+  * `hbm_copy_*`:  a Pallas block copy of S bytes — moves 2S bytes
+    (S read + S written). If a prior doc said "copy ceiling X GB/s"
+    counting only copied bytes, the moved-bytes number is 2X.
+  * Each kernel row reports modeled moved bytes (from layout shapes and
+    dtypes), measured time, achieved GB/s, and % of the measured
+    pure-read ceiling for its dominant dtype (these kernels are
+    read-dominated: A tiles + feature windows in, one f32 block out).
+
+Usage: python benchmarks/roofline_bench.py [--nodes N] [--dim F]
+Prints one JSON line per measurement; the `vs_baseline` field carries
+the %-of-read-ceiling fraction for kernel rows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from benchmarks.spmm_bench import bench
+
+
+def _copy_kernel(x_ref, o_ref):
+    o_ref[:] = x_ref[:]
+
+
+def _read_kernel(x_ref, o_ref):
+    # minimal-write read: the BlockSpec DMAs the full [r_blk, 512] block
+    # into VMEM; only its first 8 rows are written back (1/128 of the
+    # read), so the measured rate is the read path
+    o_ref[:] = x_ref[0:8, :]
+
+
+def measure_ceilings(dtypes=("float32", "bfloat16"), mb=512, iters=20):
+    """Measured copy-through and pure-read ceilings, moved-bytes basis.
+
+    The round-3 docs quoted "495 GB/s f32 / 383 bf16 streaming ceiling"
+    without stating the basis; re-measured here both ways. The read
+    kernel's write-back is 1/128 of its read, so its number is within ~1%
+    of pure read."""
+    out = {}
+    for dt_name in dtypes:
+        dt = jnp.dtype(dt_name)
+        rows = (mb << 20) // (512 * dt.itemsize)
+        r_blk = 1024
+        rows = (rows // r_blk) * r_blk
+        x = jnp.ones((rows, 512), dt)
+
+        copy = pl.pallas_call(
+            _copy_kernel,
+            grid=(rows // r_blk,),
+            in_specs=[pl.BlockSpec((r_blk, 512), lambda i: (i, 0))],
+            out_specs=pl.BlockSpec((r_blk, 512), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((rows, 512), dt))
+        t = bench(lambda h: copy(h), x, iters=iters)
+        moved = 2 * x.size * dt.itemsize
+        out[f"copy_{dt_name}"] = moved / t
+        print(json.dumps({
+            "metric": f"hbm_copy_{dt_name}",
+            "value": round(moved / t / 1e9, 1), "unit": "GB/s moved",
+            "vs_baseline": 1.0}) +
+            f"  # {x.size * dt.itemsize / t / 1e9:.1f} GB/s copied",
+            flush=True)
+
+        n_blk = rows // r_blk
+        read = pl.pallas_call(
+            _read_kernel,
+            grid=(n_blk,),
+            in_specs=[pl.BlockSpec((r_blk, 512), lambda i: (i, 0))],
+            out_specs=pl.BlockSpec((8, 512), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((n_blk * 8, 512), dt))
+        t = bench(lambda h: read(h), x, iters=iters)
+        moved = x.size * dt.itemsize * (1 + 1 / 128)
+        out[f"read_{dt_name}"] = moved / t
+        print(json.dumps({
+            "metric": f"hbm_read_{dt_name}",
+            "value": round(moved / t / 1e9, 1), "unit": "GB/s moved",
+            "vs_baseline": 1.0}), flush=True)
+    return out
+
+
+def kernel_row(name, seconds, modeled_bytes, edges, ceiling, detail=""):
+    gbs = modeled_bytes / seconds / 1e9
+    frac = gbs / (ceiling / 1e9)
+    print(json.dumps({
+        "metric": f"roofline_{name}",
+        "value": round(gbs, 1), "unit": "GB/s moved",
+        "vs_baseline": round(frac, 3)}) +
+        f"  # {edges / seconds / 1e9:.3f} Gedges/s, "
+        f"{modeled_bytes / 1e6:.0f} MB modeled, "
+        f"{frac:.0%} of read ceiling{detail}", flush=True)
+    return frac
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--nodes", type=int, default=100_000)
+    parser.add_argument("--degree", type=float, default=10.0)
+    parser.add_argument("--dim", type=int, default=128)
+    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--win-r", type=int, default=256)
+    parser.add_argument("--skip-ceilings", action="store_true")
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from gnnra_tpu import graph as graph_lib
+    from gnnra_tpu.ops import spmm
+
+    ceilings = (measure_ceilings(iters=args.iters)
+                if not args.skip_ceilings else
+                {"read_float32": 819e9, "read_bfloat16": 819e9,
+                 "copy_float32": 819e9, "copy_bfloat16": 819e9})
+
+    n, f = args.nodes, args.dim
+    t0 = time.time()
+    _, g = graph_lib.geometric_interference_graph(
+        0, n, target_degree=args.degree)
+    gb, _ = graph_lib.reorder_nodes(g, "bfs")
+    e = gb.num_edges
+    print(f"# geometric {n} nodes / {e} edges, prep {time.time() - t0:.1f}s",
+          flush=True)
+    h32 = jax.random.normal(jax.random.PRNGKey(1), (n, f))
+    h16 = h32.astype(jnp.bfloat16)
+
+    # ---- windowed-dense forward, per storage dtype -----------------------
+    for dt, tag, hh in ((jnp.int8, "int8", h16), (jnp.bfloat16, "bf16", h16),
+                        (jnp.float32, "f32", h32)):
+        wd_f = graph_lib.window_dense(gb, r_block=args.win_r, dtype=dt)
+        wd_b = graph_lib.window_dense(gb.transpose(), r_block=args.win_r,
+                                      dtype=dt)
+        w = wd_f.window
+        nb = wd_f.num_blocks
+        n_pad = wd_f.num_nodes_padded
+        compute_itemsize = 2 if dt != jnp.float32 else 4
+        a_bytes = wd_f.a_dense.size * wd_f.a_dense.dtype.itemsize
+        win_bytes = nb * w * f * compute_itemsize
+        out_bytes = n_pad * f * 4
+        fwd_bytes = a_bytes + win_bytes + out_bytes
+
+        t_fwd = bench(lambda h, wd: spmm.spmm_windowed(h, wd), hh,
+                      iters=args.iters, data=(wd_f,))
+        ceil = ceilings["read_float32" if dt == jnp.float32
+                        else "read_bfloat16"]
+        kernel_row(f"windowed_fwd_{tag}", t_fwd, fwd_bytes, e, ceil,
+                   detail=f", W={w}")
+
+        # backward measured DIRECTLY as the transposed-layout kernel (it IS
+        # the VJP, ops/spmm.py make_spmm_windowed) — a grad-of-sum(out*h)
+        # chain would add elementwise traffic the model doesn't count
+        wb = wd_b.window
+        nbb = wd_b.num_blocks
+        bwd_bytes = (wd_b.a_dense.size * wd_b.a_dense.dtype.itemsize
+                     + nbb * wb * f * compute_itemsize
+                     + wd_b.num_nodes_padded * f * 4)
+        t_bwd = bench(lambda g_, wd: spmm.spmm_windowed(g_, wd), hh,
+                      iters=args.iters, data=(wd_b,))
+        kernel_row(f"windowed_bwd_{tag}", t_bwd, bwd_bytes, e, ceil,
+                   detail=f", W_T={wb}")
+        print(f"#   windowed fwd+bwd {tag} composed: "
+              f"{2 * e / (t_fwd + t_bwd) / 1e9:.3f} Gedges/s", flush=True)
+
+    # ---- blocked (gather) forward for comparison -------------------------
+    blk = graph_lib.block_by_receiver(gb, r_block=256)
+    eb = blk.num_blocks * blk.e_block
+    # gather read (f32 rows) + msgs write + msgs read + out write
+    blocked_bytes = (eb * f * 4) * 3 + blk.num_nodes_padded * f * 4
+    t = bench(lambda h, b: spmm.spmm_blocked(h, b, impl="pallas"), h32,
+              iters=args.iters, data=(blk,))
+    kernel_row("blocked_fwd_f32", t, blocked_bytes, e,
+               ceilings["read_float32"],
+               detail=f", pad {eb / e - 1:.1%}")
+
+    # ---- windowed dense SDDMM (dw kernel of the weighted path) -----------
+    wd_f = graph_lib.window_dense(gb, r_block=args.win_r,
+                                  dtype=jnp.bfloat16)
+    w = wd_f.window
+    nb = wd_f.num_blocks
+    sddmm_bytes = (nb * (wd_f.r_block + w) * f * 2
+                   + wd_f.num_nodes_padded * w * 4)
+    t = bench(lambda a, wd: spmm.sddmm_windowed_dense(a, a, wd), h16,
+              iters=args.iters, data=(wd_f,))
+    kernel_row("sddmm_windowed_bf16", t, sddmm_bytes, e,
+               ceilings["read_bfloat16"])
+
+
+if __name__ == "__main__":
+    main()

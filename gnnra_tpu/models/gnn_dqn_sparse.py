@@ -36,8 +36,10 @@ AggregateFn = Callable[[jax.Array], jax.Array]   # [N, F] -> [N, F]
 
 
 def aggregate_coo(graph: COOGraph) -> AggregateFn:
-    """Segment-sum aggregation closure (differentiable through JAX)."""
-    return lambda h: spmm_lib.spmm_coo(h, graph)
+    """Segment-sum aggregation closure (differentiable through JAX).
+    Accumulates in f32 regardless of the model's compute dtype (`apply`
+    passes h as-is; each aggregate owns its precision policy)."""
+    return lambda h: spmm_lib.spmm_coo(h.astype(jnp.float32), graph)
 
 
 def aggregate_fixed_degree(fd) -> AggregateFn:
@@ -45,7 +47,7 @@ def aggregate_fixed_degree(fd) -> AggregateFn:
     `graph.sample_neighbors`): unbiased estimator of the full aggregation,
     gather-only forward — the BASELINE config 4 sampling path. Resample per
     step (new key -> new fd) for fresh estimator noise."""
-    return lambda h: spmm_lib.spmm_fixed_degree(h, fd)
+    return lambda h: spmm_lib.spmm_fixed_degree(h.astype(jnp.float32), fd)
 
 
 def aggregate_blocked(fwd_layout, bwd_layout,
@@ -60,15 +62,18 @@ def aggregate_blocked(fwd_layout, bwd_layout,
     constant-embedding 100s of MB of layout overflows remote-compile
     transports (docs/RESULTS.md)."""
     call = spmm_lib.make_spmm_call(impl=impl)
-    return lambda h: call(h, fwd_layout, bwd_layout)
+    return lambda h: call(h.astype(jnp.float32), fwd_layout, bwd_layout)
 
 
 def aggregate_windowed(fwd_wd, bwd_wd, impl: str = "pallas") -> AggregateFn:
     """Windowed-dense aggregation (`graph.window_dense` layouts over a
-    BFS-reordered geometric graph): zero gathers, ~95% of measured HBM
-    streaming ceiling (docs/RESULTS.md)."""
-    call = spmm_lib.make_spmm_windowed_call(impl=impl)
-    return lambda h: call(h, fwd_wd, bwd_wd).astype(h.dtype)
+    BFS-reordered geometric graph): zero gathers; measured at 90% of the
+    platform's pure-read HBM ceiling in int8 / ~94% of the copy ceiling in
+    bf16 (per-kernel roofline table, docs/RESULTS.md round 4). The kernel
+    emits h's own dtype directly (out_dtype="input") — the post-hoc f32
+    cast cost a full [N, F] round trip."""
+    call = spmm_lib.make_spmm_windowed_call(impl=impl, out_dtype="input")
+    return lambda h: call(h, fwd_wd, bwd_wd)
 
 
 #: Per-chip HBM of the target part (TPU v5e). The windowed layouts' A
@@ -250,7 +255,11 @@ def apply(params, node: jax.Array, edge: jax.Array,
                + jnp.einsum("nd,df->nf", edge, p["w2"].astype(compute_dtype))
                + jnp.einsum("nd,df->nf", nbr, p["w3"].astype(compute_dtype)))
         h = out if r == cfg.gnn_rounds - 1 else jax.nn.relu(out)
-        nbr = aggregate(h.astype(jnp.float32)).astype(compute_dtype)
+        # h passes in the model's compute dtype; each aggregate closure
+        # owns its own precision policy (the windowed kernel computes in
+        # the layout dtype and emits compute_dtype directly — round-4
+        # change removing a full f32 [N, F] HBM round trip per round)
+        nbr = aggregate(h).astype(compute_dtype)
         return h, nbr
 
     nbr = jnp.zeros((n, f), compute_dtype)

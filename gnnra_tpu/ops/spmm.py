@@ -477,9 +477,13 @@ def _windowed_kernel(wstart_ref, a_ref, h_hbm, out_ref, h_win, sems):
     h = h_win[jax.lax.rem(b, 2)]                          # [W, F]
     precision = (jax.lax.Precision.HIGHEST
                  if a.dtype == jnp.float32 else None)
-    out_ref[:] = jax.lax.dot_general(
+    out = jax.lax.dot_general(
         a, h, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision)
+    # accumulation is f32 on the MXU regardless of out_ref's dtype; a bf16
+    # out_ref only rounds the final store — numerically identical to
+    # storing f32 and casting outside, minus a full [N, F] HBM round trip
+    out_ref[:] = out.astype(out_ref.dtype)
 
 
 def _pad_rows(h: jax.Array, rows: int) -> jax.Array:
@@ -488,8 +492,8 @@ def _pad_rows(h: jax.Array, rows: int) -> jax.Array:
     return jnp.zeros((rows, h.shape[1]), h.dtype).at[:h.shape[0]].set(h)
 
 
-def _spmm_windowed_pallas(h: jax.Array, wd, interpret: bool = False
-                          ) -> jax.Array:
+def _spmm_windowed_pallas(h: jax.Array, wd, interpret: bool = False,
+                          out_dtype=None) -> jax.Array:
     from jax.experimental.pallas import tpu as pltpu
 
     f_in = h.shape[-1]
@@ -498,6 +502,7 @@ def _spmm_windowed_pallas(h: jax.Array, wd, interpret: bool = False
     nb = wd.num_blocks
     compute_dtype = (jnp.bfloat16 if wd.a_dense.dtype == jnp.int8
                      else wd.a_dense.dtype)
+    out_dtype = jnp.dtype(out_dtype or jnp.float32)
     h = h.astype(compute_dtype)
     # the manual window DMA slices [W, F] out of h: the minor dim must be
     # lane-aligned (Mosaic: "slice shape along dimension 1 must be aligned
@@ -526,19 +531,19 @@ def _spmm_windowed_pallas(h: jax.Array, wd, interpret: bool = False
     out = pl.pallas_call(
         _windowed_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((wd.num_nodes_padded, f), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((wd.num_nodes_padded, f), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * nb * r * w * f,
             bytes_accessed=(wd.a_dense.size * wd.a_dense.dtype.itemsize
                             + nb * w * f * h.dtype.itemsize
-                            + wd.num_nodes_padded * f * 4),
+                            + wd.num_nodes_padded * f * out_dtype.itemsize),
             transcendentals=0),
         interpret=interpret,
     )(wd.w_start, wd.a_dense, h_pad)
     return out[:wd.num_nodes, :f_in]
 
 
-def _spmm_windowed_jnp(h: jax.Array, wd) -> jax.Array:
+def _spmm_windowed_jnp(h: jax.Array, wd, out_dtype=None) -> jax.Array:
     """Vectorized jnp oracle/fallback (same math as the kernel)."""
     f = h.shape[-1]
     w = wd.window
@@ -554,21 +559,29 @@ def _spmm_windowed_jnp(h: jax.Array, wd) -> jax.Array:
                      preferred_element_type=jnp.float32,
                      precision=(jax.lax.Precision.HIGHEST
                                 if compute_dtype == jnp.float32 else None))
-    return out.reshape(-1, f)[:wd.num_nodes]
+    return out.reshape(-1, f)[:wd.num_nodes].astype(out_dtype or jnp.float32)
 
 
-def spmm_windowed(h: jax.Array, wd, impl: Impl = "pallas") -> jax.Array:
+def spmm_windowed(h: jax.Array, wd, impl: Impl = "pallas",
+                  out_dtype=None) -> jax.Array:
     """SpMM over a `graph.WindowedDenseGraph`: one dense MXU matmul per
     receiver block against its BFS sender window — zero gathers, fully
-    sequential HBM traffic. Returns [N, F] float32 (cast as needed).
+    sequential HBM traffic. Returns [N, F] in `out_dtype` (default
+    float32; accumulation is f32 either way, only the final store rounds).
+    Training paths that immediately cast to bf16 should pass
+    out_dtype=bfloat16 — it removes a full [N, F] f32 HBM round trip
+    (write f32 + read f32 + write bf16 -> write bf16; ~25% of the int8
+    kernel's modeled traffic at F=128, benchmarks/roofline_bench.py).
 
     Semantics match `spmm_coo` on the same edges (reference aggregation:
     BS_brain.py:69-76); inputs are computed in the layout's dtype (bf16
     default — see `graph.window_dense`).
     """
     if impl == "jnp":
-        return _spmm_windowed_jnp(h, wd)
-    return _spmm_windowed_pallas(h, wd, interpret=(impl == "pallas_interpret"))
+        return _spmm_windowed_jnp(h, wd, out_dtype)
+    return _spmm_windowed_pallas(h, wd,
+                                 interpret=(impl == "pallas_interpret"),
+                                 out_dtype=out_dtype)
 
 
 def make_spmm_windowed(fwd_wd, bwd_wd, impl: Impl = "pallas"):
@@ -587,22 +600,29 @@ def make_spmm_windowed(fwd_wd, bwd_wd, impl: Impl = "pallas"):
         return spmm(h), jnp.zeros((0,), h.dtype)
 
     def bwd(tok, g):
-        return (spmm_windowed(g, bwd_wd, impl).astype(tok.dtype),)
+        return (spmm_windowed(g, bwd_wd, impl, out_dtype=tok.dtype),)
 
     spmm.defvjp(fwd, bwd)
     return spmm
 
 
-def make_spmm_windowed_call(impl: Impl = "pallas"):
+def make_spmm_windowed_call(impl: Impl = "pallas", out_dtype=None):
     """Differentiable windowed-dense SpMM taking the layouts as ARGUMENTS:
-    f(h, fwd_wd, bwd_wd) -> [N, F] f32. Like `make_spmm_call`, this keeps
+    f(h, fwd_wd, bwd_wd) -> [N, F]. Like `make_spmm_call`, this keeps
     the multi-100MB A tiles out of the HLO constant pool (closing over them
-    exceeds remote-compile transport limits — observed HTTP 413)."""
+    exceeds remote-compile transport limits — observed HTTP 413).
+
+    out_dtype: None -> f32 output (back-compat); "input" -> emit h's own
+    dtype straight from the kernel (training paths: saves the f32 [N, F]
+    round trip the post-hoc cast costs); or an explicit dtype."""
+
+    def _out(h):
+        return h.dtype if out_dtype == "input" else out_dtype
 
     @jax.custom_vjp
     def f(h, fwd_wd, bwd_wd):
         del bwd_wd
-        return spmm_windowed(h, fwd_wd, impl)
+        return spmm_windowed(h, fwd_wd, impl, out_dtype=_out(h))
 
     def fwd(h, fwd_wd, bwd_wd):
         return f(h, fwd_wd, bwd_wd), (jnp.zeros((0,), h.dtype), fwd_wd,
@@ -617,7 +637,7 @@ def make_spmm_windowed_call(impl: Impl = "pallas"):
 
     def bwd(res, g):
         tok, fwd_wd, bwd_wd = res
-        dh = spmm_windowed(g, bwd_wd, impl).astype(tok.dtype)
+        dh = spmm_windowed(g, bwd_wd, impl, out_dtype=tok.dtype)
         return dh, _zeros_like_tree(fwd_wd), _zeros_like_tree(bwd_wd)
 
     f.defvjp(fwd, bwd)
