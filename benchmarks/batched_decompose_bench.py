@@ -40,19 +40,27 @@ import jax.numpy as jnp
 
 def chain(fn, iters):
     """Time fn (scalar -> scalar, closing over inputs) in a serialized
-    jitted fori_loop with forced execution."""
+    jitted fori_loop with forced execution; two-point slope cancels the
+    session-varying per-call round trip (spmm_bench.bench discipline)."""
     @jax.jit
-    def loop(s):
+    def loop(s, n):
         def body(_, s):
             return s + fn(s) * 1e-9
-        return jax.lax.fori_loop(0, iters, body, s)
+        return jax.lax.fori_loop(0, n, body, s)
 
-    s = loop(jnp.float32(0.0))
+    s = loop(jnp.float32(0.0), iters)
     float(s)
     t0 = time.perf_counter()
-    s = loop(s)
+    s = loop(s, iters)
     float(s)
-    return (time.perf_counter() - t0) / iters
+    t_n = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    s = loop(s, 2 * iters)
+    float(s)
+    t_2n = time.perf_counter() - t0
+    if t_2n <= t_n:
+        return t_n / iters
+    return (t_2n - t_n) / iters
 
 
 def report(name, seconds, full=None):

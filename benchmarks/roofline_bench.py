@@ -179,6 +179,48 @@ def main(argv=None):
         print(f"#   windowed fwd+bwd {tag} composed: "
               f"{2 * e / (t_fwd + t_bwd) / 1e9:.3f} Gedges/s", flush=True)
 
+    # ---- variable-width bucketed windowed (round-4 kernel) ---------------
+    for dt, tag, hh in ((jnp.int8, "int8", h16),
+                        (jnp.bfloat16, "bf16", h16)):
+        bwg_f = graph_lib.window_dense_bucketed(gb, r_block=args.win_r,
+                                                dtype=dt)
+        bwg_b = graph_lib.window_dense_bucketed(gb.transpose(),
+                                                r_block=args.win_r,
+                                                dtype=dt)
+        a_bytes = sum(a.size * a.dtype.itemsize for a in bwg_f.a_parts)
+        win_bytes = sum(
+            int(bwg_f.block_ids[k].shape[0]) * bwg_f.widths[k] * f * 2
+            for k in range(len(bwg_f.widths)))
+        out_bytes = bwg_f.num_nodes_padded * f * 4
+        fwd_bytes = a_bytes + win_bytes + out_bytes
+        t_fwd = bench(lambda h, wd: spmm.spmm_windowed(h, wd), hh,
+                      iters=args.iters, data=(bwg_f,))
+        kernel_row(f"bucketed_fwd_{tag}", t_fwd, fwd_bytes, e,
+                   ceilings["read_bfloat16"],
+                   detail=f", widths={bwg_f.widths}")
+        t_bwd = bench(lambda g_, wd: spmm.spmm_windowed(g_, wd), hh,
+                      iters=args.iters, data=(bwg_b,))
+        print(f"#   bucketed fwd+bwd {tag} composed: "
+              f"{2 * e / (t_fwd + t_bwd) / 1e9:.3f} Gedges/s", flush=True)
+        # training-path variant: bf16 out straight from the kernel
+        t_fwd16 = bench(
+            lambda h, wd: spmm.spmm_windowed(h, wd,
+                                             out_dtype=jnp.bfloat16),
+            hh, iters=args.iters, data=(bwg_f,))
+        fwd16_bytes = a_bytes + win_bytes + bwg_f.num_nodes_padded * f * 2
+        kernel_row(f"bucketed_fwd_{tag}_out16", t_fwd16, fwd16_bytes, e,
+                   ceilings["read_bfloat16"])
+
+    # ---- uniform windowed with bf16 out (training path) ------------------
+    wd_u = graph_lib.window_dense(gb, r_block=args.win_r, dtype=jnp.int8)
+    t_u16 = bench(
+        lambda h, wd: spmm.spmm_windowed(h, wd, out_dtype=jnp.bfloat16),
+        h16, iters=args.iters, data=(wd_u,))
+    u16_bytes = (wd_u.a_dense.size + wd_u.num_blocks * wd_u.window * f * 2
+                 + wd_u.num_nodes_padded * f * 2)
+    kernel_row("windowed_fwd_int8_out16", t_u16, u16_bytes, e,
+               ceilings["read_bfloat16"])
+
     # ---- blocked (gather) forward for comparison -------------------------
     blk = graph_lib.block_by_receiver(gb, r_block=256)
     eb = blk.num_blocks * blk.e_block

@@ -45,21 +45,36 @@ def bench(op, h, iters=20, data=()):
     depends on the whole serialized chain cannot be faked. The timed call
     also takes the warm-up call's output as its input (fresh buffer, fresh
     contents) so no dispatch-level cache can key-match it.
+
+    Round-4 fix: the per-call fixed cost (dispatch + one host round trip
+    over the TPU tunnel) varies 0.1..20 ms BETWEEN SESSIONS, and at 20
+    iterations a ~13 ms round trip inflated round-3's sub-ms kernels by
+    up to 2x (the windowed int8 forward measured 0.74 Gedges/s then and
+    1.41 now). The loop bound is therefore a RUNTIME argument and the
+    per-iteration time is the two-point slope (t(2n) - t(n)) / n — the
+    fixed cost cancels exactly instead of being amortized.
     """
 
     @jax.jit
-    def loop(h, *data):
+    def loop(h, n, *data):
         def body(_, h):
             out = op(h, *data)
             return h.at[0, 0].add(out.ravel()[0] * 1e-3)
-        return jax.lax.fori_loop(0, iters, body, h)
+        return jax.lax.fori_loop(0, n, body, h)
 
-    h = loop(h, *data)
+    h = loop(h, iters, *data)
     float(h.ravel()[0])                  # compile + warm + force
     t0 = time.perf_counter()
-    h = loop(h, *data)
+    h = loop(h, iters, *data)
     float(h.ravel()[0])                  # scalar pull forces the chain
-    return (time.perf_counter() - t0) / iters
+    t_n = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    h = loop(h, 2 * iters, *data)
+    float(h.ravel()[0])
+    t_2n = time.perf_counter() - t0
+    if t_2n <= t_n:                      # noise floor: fall back to t_n
+        return t_n / iters
+    return (t_2n - t_n) / iters
 
 
 def report(name, num_edges, seconds, baseline_seconds=None):

@@ -824,6 +824,160 @@ def window_dense(graph: COOGraph, r_block: int = 256,
         num_edges=e)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BucketedWindowedGraph:
+    """Variable-width windowed layout (round 4): receiver blocks are
+    grouped into K width buckets and each bucket stores its A tiles at its
+    OWN width, instead of padding every block to the widest block's span.
+
+    On the 100k-node vehicular-geometric graph the block spans range
+    157..1029 (median 790) while the uniform layout pays W=1152
+    everywhere; bucketing to 3 widths cuts the A + h-window traffic — the
+    ~82% of the kernel's bytes that scale with W — to ~0.74x
+    (`benchmarks/roofline_bench.py` round-4 table).
+
+    Kernel contract (`ops.spmm.spmm_windowed` dispatches on this type):
+    ONE pallas_call whose grid walks the blocks in NATURAL (ascending
+    w_start) order — a first bucket-major design lost ~25% of sustained
+    bandwidth to the out-of-order window DMAs it caused. The per-step
+    bucket is the prefetched `bucket_of` vector (dynamic pl.when branch,
+    like the paged kernel's first_flags); per-bucket A arrays are
+    auto-pipelined through BlockSpecs whose index maps read the prefetched
+    `a_idx` running counters (held CONSTANT while foreign buckets run, so
+    Pallas's changed-index check skips those fetches). Outputs land at
+    block index = grid index: no permutation anywhere.
+    """
+
+    a_parts: tuple          # K arrays [nk * r_block, W_k], natural order
+    w_start: jax.Array      # [NB] int32 window starts, natural block order
+    bucket_of: jax.Array    # [NB] int32 bucket id per block
+    a_idx: tuple            # K arrays [NB] int32 clamped running indices
+    block_ids: tuple        # K arrays [nk] int32 member blocks per bucket
+    widths: tuple = dataclasses.field(metadata=dict(static=True))
+    num_nodes: int = dataclasses.field(metadata=dict(static=True))
+    num_nodes_padded: int = dataclasses.field(metadata=dict(static=True))
+    r_block: int = dataclasses.field(metadata=dict(static=True))
+    num_edges: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_blocks(self) -> int:
+        return int(self.w_start.shape[0])
+
+
+def _choose_bucket_widths(block_widths: np.ndarray, max_buckets: int
+                          ) -> list:
+    """Exact DP: pick <= max_buckets cover widths (from the distinct
+    block widths, always including the max) minimizing total assigned
+    width. O(C^2 K) over C distinct widths — C is small (W/128 classes)."""
+    classes, counts = np.unique(block_widths, return_counts=True)
+    c = classes.shape[0]
+    k_max = min(max_buckets, c)
+    inf = float("inf")
+    # cost[j0][j1] = cost of covering classes (j0..j1] with width classes[j1]
+    pre = np.concatenate([[0], np.cumsum(counts)])
+    cost = np.full((c + 1, c), inf)
+    for j1 in range(c):
+        for j0 in range(-1, j1 + 1):
+            cost[j0 + 1][j1] = float(classes[j1]) * (pre[j1 + 1] - pre[j0 + 1])
+    dp = np.full((c + 1, k_max + 1), inf)
+    choice = np.zeros((c + 1, k_max + 1), np.int64)
+    dp[0, 0] = 0.0
+    for j in range(1, c + 1):
+        for k in range(1, k_max + 1):
+            for j0 in range(j):
+                v = dp[j0, k - 1] + cost[j0][j - 1]
+                if v < dp[j, k]:
+                    dp[j, k] = v
+                    choice[j, k] = j0
+    k_best = int(np.argmin(dp[c, 1:])) + 1
+    cuts = []
+    j = c
+    for k in range(k_best, 0, -1):
+        cuts.append(int(classes[j - 1]))
+        j = int(choice[j, k])
+    return sorted(cuts)
+
+
+def window_dense_bucketed(graph: COOGraph, r_block: int = 256,
+                          max_buckets: int = 3,
+                          dtype=jnp.bfloat16) -> BucketedWindowedGraph:
+    """Host-side preprocessing into the variable-width windowed layout.
+    Same invariants as `window_dense` (BFS-reorder first; int8 validates
+    accumulated integer weights), with per-block window widths bucketed
+    into <= max_buckets classes chosen by exact DP over the block-width
+    histogram."""
+    senders = np.asarray(graph.senders)
+    receivers = np.asarray(graph.receivers)
+    weights = np.asarray(graph.weights)
+    n = graph.num_nodes
+    e = senders.shape[0]
+    assert r_block % 8 == 0
+    num_blocks = max(1, -(-n // r_block))
+    n_padded = num_blocks * r_block
+    np_dtype = jnp.dtype(dtype)
+
+    block_of = receivers // r_block
+    mins = np.full(num_blocks, np.iinfo(np.int64).max)
+    maxs = np.full(num_blocks, -1)
+    np.minimum.at(mins, block_of, senders)
+    np.maximum.at(maxs, block_of, senders)
+    have = maxs >= 0
+    mins_aligned = (np.where(have, mins, 0) // 8) * 8
+    span = np.where(have, maxs - mins_aligned + 1, 1)
+    w_block = np.maximum(128, -(-span // 128) * 128)
+
+    widths = _choose_bucket_widths(w_block, max_buckets)
+    k_count = len(widths)
+    bucket_of = np.searchsorted(np.asarray(widths), w_block)
+    w_assigned = np.asarray(widths)[bucket_of]
+    starts = np.minimum(mins_aligned,
+                        np.maximum(0, n_padded - w_assigned))
+
+    # natural block order everywhere; per-bucket A arrays hold each
+    # bucket's member blocks in that same order
+    a_parts = []
+    a_idx = []
+    block_ids = []
+    r_local = receivers - block_of * r_block
+    s_local = senders - starts[block_of]
+    assert s_local.min(initial=0) >= 0
+    local_of_block = np.zeros(num_blocks, np.int64)
+    for k in range(k_count):
+        members = np.nonzero(bucket_of == k)[0]
+        local_of_block[members] = np.arange(members.shape[0])
+        block_ids.append(jnp.asarray(members.astype(np.int32)))
+    for k in range(k_count):
+        members = np.asarray(block_ids[k])
+        nk = members.shape[0]
+        wk = int(widths[k])
+        a = np.zeros((max(nk, 1) * r_block, wk), np.float32)
+        m = bucket_of[block_of] == k
+        rows = local_of_block[block_of[m]] * r_block + r_local[m]
+        np.add.at(a, (rows, s_local[m]), weights[m])
+        if np_dtype == jnp.int8:
+            if not (np.all(a == np.round(a))
+                    and np.abs(a).max(initial=0) <= 127):
+                raise ValueError(
+                    "int8 A tiles need integer accumulated weights in "
+                    "[-127, 127]; use bf16/f32 for this graph")
+        a_parts.append(jnp.asarray(a.astype(np_dtype)))
+        # running index per grid step, held constant while other buckets
+        # run (unchanged index => Pallas skips the fetch)
+        running = np.cumsum(bucket_of == k) - 1
+        a_idx.append(jnp.asarray(
+            np.clip(running, 0, max(nk - 1, 0)).astype(np.int32)))
+
+    return BucketedWindowedGraph(
+        a_parts=tuple(a_parts),
+        w_start=jnp.asarray(starts.astype(np.int32)),
+        bucket_of=jnp.asarray(bucket_of.astype(np.int32)),
+        a_idx=tuple(a_idx), block_ids=tuple(block_ids),
+        widths=tuple(int(x) for x in widths),
+        num_nodes=n, num_nodes_padded=n_padded, r_block=r_block,
+        num_edges=e)
+
+
 def window_edge_slots(graph: COOGraph, wd: WindowedDenseGraph
                       ) -> Tuple[jax.Array, jax.Array]:
     """Dense-A slot (row, col) per COO edge: row = global padded receiver

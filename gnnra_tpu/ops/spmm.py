@@ -575,13 +575,174 @@ def spmm_windowed(h: jax.Array, wd, impl: Impl = "pallas",
 
     Semantics match `spmm_coo` on the same edges (reference aggregation:
     BS_brain.py:69-76); inputs are computed in the layout's dtype (bf16
-    default — see `graph.window_dense`).
+    default — see `graph.window_dense`). Accepts a uniform
+    `WindowedDenseGraph` or a variable-width `BucketedWindowedGraph`
+    (`graph.window_dense_bucketed` — cuts the W-proportional traffic to
+    the bucketed widths' total).
     """
+    from gnnra_tpu.graph import BucketedWindowedGraph
+
+    if isinstance(wd, BucketedWindowedGraph):
+        if impl == "jnp":
+            return _spmm_windowed_bucketed_jnp(h, wd, out_dtype)
+        return _spmm_windowed_bucketed_pallas(
+            h, wd, interpret=(impl == "pallas_interpret"),
+            out_dtype=out_dtype)
     if impl == "jnp":
         return _spmm_windowed_jnp(h, wd, out_dtype)
     return _spmm_windowed_pallas(h, wd,
                                  interpret=(impl == "pallas_interpret"),
                                  out_dtype=out_dtype)
+
+
+def _make_bucketed_kernel(widths):
+    """Kernel factory for the variable-width windowed SpMM: one grid step
+    = one receiver block, blocks in NATURAL order (ascending window
+    starts — keeps the h-window DMA stream sequential; the first
+    bucket-major design lost ~25% of sustained bandwidth to out-of-order
+    windows). The step's width class comes from the prefetched
+    `bucket_of` vector; every bucket shares one double-buffered window
+    scratch sized for the widest class, with per-class DMA widths."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    k_count = len(widths)
+
+    def kernel(*refs):
+        # refs: w_start, bucket_of, a_idx_0..K-1 (prefetched scalars),
+        #       a_0..a_{K-1} (VMEM blocks), h_hbm (ANY), out_ref,
+        #       h_win [2, W_max, F], sems [2] (scratch)
+        w_start_ref = refs[0]
+        bucket_ref = refs[1]
+        a_refs = refs[2 + k_count:2 + 2 * k_count]
+        h_hbm = refs[2 + 2 * k_count]
+        out_ref = refs[3 + 2 * k_count]
+        h_win = refs[4 + 2 * k_count]
+        sems = refs[5 + 2 * k_count]
+        b = pl.program_id(0)
+        nb = pl.num_programs(0)
+
+        for k in range(k_count):
+            wk = widths[k]
+
+            def dma(i, wk=wk):
+                start = pl.multiple_of(w_start_ref[i], 8)
+                slot = jax.lax.rem(i, 2)
+                return pltpu.make_async_copy(
+                    h_hbm.at[pl.ds(start, wk), :],
+                    h_win.at[slot, pl.ds(0, wk), :],
+                    sems.at[slot])
+
+            @pl.when((b == 0) & (bucket_ref[0] == k))
+            def _():
+                dma(0).start()
+
+            @pl.when((b + 1 < nb) & (bucket_ref[b + 1] == k))
+            def _():
+                dma(b + 1).start()
+
+            @pl.when(bucket_ref[b] == k)
+            def _(k=k, wk=wk):
+                dma(b).wait()
+                a = a_refs[k][:]                      # [R, W_k]
+                h = h_win[jax.lax.rem(b, 2), 0:wk, :]  # [W_k, F]
+                precision = (jax.lax.Precision.HIGHEST
+                             if a.dtype == jnp.float32 else None)
+                out = jax.lax.dot_general(
+                    a, h, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
+                out_ref[:] = out.astype(out_ref.dtype)
+
+    return kernel
+
+
+def _spmm_windowed_bucketed_pallas(h: jax.Array, bwg,
+                                   interpret: bool = False,
+                                   out_dtype=None) -> jax.Array:
+    from jax.experimental.pallas import tpu as pltpu
+
+    f_in = h.shape[-1]
+    r = bwg.r_block
+    nb = bwg.num_blocks
+    k_count = len(bwg.widths)
+    compute_dtype = (jnp.bfloat16 if bwg.a_parts[0].dtype == jnp.int8
+                     else bwg.a_parts[0].dtype)
+    out_dtype = jnp.dtype(out_dtype or jnp.float32)
+    h = h.astype(compute_dtype)
+    f = max(128, -(-f_in // 128) * 128)
+    if f != f_in:
+        h = jnp.concatenate(
+            [h, jnp.zeros((h.shape[0], f - f_in), h.dtype)], axis=-1)
+    h_pad = _pad_rows(h, max(bwg.num_nodes_padded, max(bwg.widths)))
+
+    def a_spec(k):
+        wk = bwg.widths[k]
+        return pl.BlockSpec(
+            (r, wk),
+            (lambda k: lambda i, ws, bo, *ai: (ai[k][i], 0))(k),
+            memory_space=pltpu.VMEM)
+
+    w_max = max(bwg.widths)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2 + k_count,
+        grid=(nb,),
+        in_specs=[a_spec(k) for k in range(k_count)] +
+                 [pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((r, f), lambda i, ws, bo, *ai: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, w_max, f), h.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    a_bytes = sum(a.size * a.dtype.itemsize for a in bwg.a_parts)
+    sizes = [int(b.shape[0]) for b in bwg.block_ids]
+    win_bytes = sum(sizes[k] * bwg.widths[k] * f * h.dtype.itemsize
+                    for k in range(k_count))
+    out = pl.pallas_call(
+        _make_bucketed_kernel(bwg.widths),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bwg.num_nodes_padded, f),
+                                       out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * sum(sizes[k] * r * bwg.widths[k] * f
+                          for k in range(k_count)),
+            bytes_accessed=(a_bytes + win_bytes
+                            + bwg.num_nodes_padded * f
+                            * out_dtype.itemsize),
+            transcendentals=0),
+        interpret=interpret,
+    )(bwg.w_start, bwg.bucket_of, *bwg.a_idx, *bwg.a_parts, h_pad)
+    return out[:bwg.num_nodes, :f_in]
+
+
+def _spmm_windowed_bucketed_jnp(h: jax.Array, bwg,
+                                out_dtype=None) -> jax.Array:
+    """Vectorized jnp oracle/fallback (same math, bucket by bucket)."""
+    f = h.shape[-1]
+    r = bwg.r_block
+    compute_dtype = (jnp.bfloat16 if bwg.a_parts[0].dtype == jnp.int8
+                     else bwg.a_parts[0].dtype)
+    h_pad = _pad_rows(h.astype(compute_dtype),
+                      max(bwg.num_nodes_padded, max(bwg.widths)))
+    nb = bwg.num_blocks
+    out = jnp.zeros((nb, r, f), jnp.float32)
+    for k, wk in enumerate(bwg.widths):
+        members = bwg.block_ids[k]                        # [nk] block ids
+        nk = int(members.shape[0])
+        if nk == 0:
+            continue
+        a3 = bwg.a_parts[k][:nk * r].reshape(nk, r, wk).astype(compute_dtype)
+        idx = bwg.w_start[members][:, None] + jnp.arange(wk)[None, :]
+        h_win = h_pad[idx]                                # [nk, W_k, F]
+        res = jnp.einsum("brw,bwf->brf", a3, h_win,
+                         preferred_element_type=jnp.float32,
+                         precision=(jax.lax.Precision.HIGHEST
+                                    if compute_dtype == jnp.float32
+                                    else None))
+        out = out.at[members].set(res)
+    return out.reshape(-1, f)[:bwg.num_nodes].astype(
+        out_dtype or jnp.float32)
 
 
 def make_spmm_windowed(fwd_wd, bwd_wd, impl: Impl = "pallas"):
