@@ -40,24 +40,34 @@ import jax.numpy as jnp
 
 def chain(fn, iters):
     """Time fn (scalar -> scalar, closing over inputs) in a serialized
-    jitted fori_loop with forced execution; two-point slope cancels the
-    session-varying per-call round trip (spmm_bench.bench discipline)."""
+    jitted fori_loop with forced execution; adaptive iteration floor,
+    min-of-k sampling and two-point slope (spmm_bench.bench discipline —
+    per-call round-trip noise is several ms and session-varying)."""
     @jax.jit
     def loop(s, n):
         def body(_, s):
             return s + fn(s) * 1e-9
         return jax.lax.fori_loop(0, n, body, s)
 
+    def timed(s, n):
+        t0 = time.perf_counter()
+        s = loop(s, n)
+        float(s)
+        return time.perf_counter() - t0, s
+
     s = loop(jnp.float32(0.0), iters)
     float(s)
-    t0 = time.perf_counter()
-    s = loop(s, iters)
-    float(s)
-    t_n = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    s = loop(s, 2 * iters)
-    float(s)
-    t_2n = time.perf_counter() - t0
+    t1, s = timed(s, iters)
+    while t1 < 0.2 and iters < 1 << 16:
+        iters *= 4
+        t1, s = timed(s, iters)
+    t_n, t_2n = t1, None
+    for _ in range(2):
+        t, s = timed(s, iters)
+        t_n = min(t_n, t)
+    for _ in range(3):
+        t, s = timed(s, 2 * iters)
+        t_2n = t if t_2n is None else min(t_2n, t)
     if t_2n <= t_n:
         return t_n / iters
     return (t_2n - t_n) / iters

@@ -36,31 +36,11 @@ import jax.numpy as jnp
 
 
 def bench_chain(op, h, iters=10, data=()):
-    """Serialized-chain timing with forced execution and two-point slope
-    (see benchmarks/spmm_bench.py::bench for the full discipline — the
-    slope cancels the session-varying per-call round-trip cost). Layout
-    arrays go in `data` so they enter the program as runtime PARAMETERS,
-    not HLO constants (remote-compile HTTP 413 trap)."""
-    @jax.jit
-    def loop(h, n, *data):
-        def body(_, h):
-            out = op(h, *data)
-            return h.at[0, 0].add(out.ravel()[0] * 1e-3)
-        return jax.lax.fori_loop(0, n, body, h)
-
-    h = loop(h, iters, *data)
-    float(h.ravel()[0])                  # compile + warm + force
-    t0 = time.perf_counter()
-    h = loop(h, iters, *data)
-    float(h.ravel()[0])                  # scalar pull forces the chain
-    t_n = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    h = loop(h, 2 * iters, *data)
-    float(h.ravel()[0])
-    t_2n = time.perf_counter() - t0
-    if t_2n <= t_n:
-        return t_n / iters
-    return (t_2n - t_n) / iters
+    """Serialized-chain timing with forced execution, adaptive iteration
+    floor, min-of-k sampling and two-point slope — exactly
+    benchmarks/spmm_bench.py::bench (shared discipline)."""
+    from benchmarks.spmm_bench import bench
+    return bench(op, h, iters=iters, data=data)
 
 
 def main(argv=None):

@@ -156,23 +156,33 @@ def main(argv=None):
             0, n_iters, body, (state, node, jnp.float32(0.0)))
         return state, loss
 
+    def timed(state, n):
+        t0 = time.perf_counter()
+        state, loss = loop(state, n, node, edge, node2, edge2,
+                           actions, reward, fwd_wd, bwd_wd)
+        float(loss)
+        return time.perf_counter() - t0, state, loss
+
     t0 = time.time()
     state, loss = loop(state, args.iters, node, edge, node2, edge2,
                        actions, reward, fwd_wd, bwd_wd)
     float(loss)
     print(f"# compile+warm {time.time() - t0:.1f}s (loss {float(loss):.4f})",
           flush=True)
-    t0 = time.perf_counter()
-    state, loss = loop(state, args.iters, node, edge, node2, edge2,
-                       actions, reward, fwd_wd, bwd_wd)
-    float(loss)
-    t_n = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    state, loss = loop(state, 2 * args.iters, node, edge, node2, edge2,
-                       actions, reward, fwd_wd, bwd_wd)
-    float(loss)
-    t_2n = time.perf_counter() - t0
-    dt = ((t_2n - t_n) / args.iters if t_2n > t_n else t_n / args.iters)
+    # adaptive floor + min-of-k + slope (spmm_bench.bench discipline)
+    it = args.iters
+    t_n, state, loss = timed(state, it)
+    while t_n < 0.2 and it < 1 << 12:
+        it *= 4
+        t_n, state, loss = timed(state, it)
+    for _ in range(2):
+        t, state, loss = timed(state, it)
+        t_n = min(t_n, t)
+    t_2n = None
+    for _ in range(2):
+        t, state, loss = timed(state, 2 * it)
+        t_2n = t if t_2n is None else min(t_2n, t)
+    dt = ((t_2n - t_n) / it if t_2n > t_n else t_n / it)
 
     steps_s = 1.0 / dt
     edge_visits = e * args.rounds * 2 / dt

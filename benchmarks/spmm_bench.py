@@ -47,12 +47,16 @@ def bench(op, h, iters=20, data=()):
     contents) so no dispatch-level cache can key-match it.
 
     Round-4 fix: the per-call fixed cost (dispatch + one host round trip
-    over the TPU tunnel) varies 0.1..20 ms BETWEEN SESSIONS, and at 20
-    iterations a ~13 ms round trip inflated round-3's sub-ms kernels by
-    up to 2x (the windowed int8 forward measured 0.74 Gedges/s then and
-    1.41 now). The loop bound is therefore a RUNTIME argument and the
-    per-iteration time is the two-point slope (t(2n) - t(n)) / n — the
-    fixed cost cancels exactly instead of being amortized.
+    over the TPU tunnel) varies 0.1..20 ms BETWEEN SESSIONS — and by
+    several ms BETWEEN CALLS within a session. At 20 iterations a ~13 ms
+    round trip inflated round-3's sub-ms kernels by up to 2x, and a
+    naive single-sample two-point slope is noise-fragile the other way
+    (one inflated t(n) sample produced impossible >1 TB/s rates). The
+    discipline is therefore: runtime loop bound, the bound RAISED until
+    one chain call runs >= 0.2 s of device work (so per-call noise is a
+    few % at most), min-of-3 samples at n and 2n, and the per-iteration
+    time is the slope (t(2n) - t(n)) / n — the fixed cost cancels and
+    min() kills the one-sided RTT outliers.
     """
 
     @jax.jit
@@ -62,16 +66,25 @@ def bench(op, h, iters=20, data=()):
             return h.at[0, 0].add(out.ravel()[0] * 1e-3)
         return jax.lax.fori_loop(0, n, body, h)
 
+    def timed(h, n):
+        t0 = time.perf_counter()
+        h = loop(h, n, *data)
+        float(h.ravel()[0])              # scalar pull forces the chain
+        return time.perf_counter() - t0, h
+
     h = loop(h, iters, *data)
     float(h.ravel()[0])                  # compile + warm + force
-    t0 = time.perf_counter()
-    h = loop(h, iters, *data)
-    float(h.ravel()[0])                  # scalar pull forces the chain
-    t_n = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    h = loop(h, 2 * iters, *data)
-    float(h.ravel()[0])
-    t_2n = time.perf_counter() - t0
+    t1, h = timed(h, iters)
+    while t1 < 0.2 and iters < 1 << 16:  # raise work >> per-call noise
+        iters *= 4
+        t1, h = timed(h, iters)
+    t_n, t_2n = t1, None
+    for _ in range(2):
+        t, h = timed(h, iters)
+        t_n = min(t_n, t)
+    for _ in range(3):
+        t, h = timed(h, 2 * iters)
+        t_2n = t if t_2n is None else min(t_2n, t)
     if t_2n <= t_n:                      # noise floor: fall back to t_n
         return t_n / iters
     return (t_2n - t_n) / iters
