@@ -193,9 +193,14 @@ def default_aggregate(graph: COOGraph, dtype=jnp.bfloat16,
         hbm_bytes=hbm_bytes)
     while kind == "windowed":
         try:
-            fwd_wd = graph_lib.window_dense(g_bfs, r_block, window, a_dtype)
-            bwd_wd = graph_lib.window_dense(g_bfs.transpose(),
-                                            r_block=r_block, dtype=a_dtype)
+            # variable-width bucketed layout: measured fastest (the 0.72x
+            # A-element cut pays on the VPU int8 conversion path, +10%
+            # edges/s over uniform) AND the memory win at config-5 scale
+            # (docs/RESULTS.md round-4 roofline)
+            fwd_wd = graph_lib.window_dense_bucketed(g_bfs, r_block,
+                                                     dtype=a_dtype)
+            bwd_wd = graph_lib.window_dense_bucketed(g_bfs.transpose(),
+                                                     r_block, dtype=a_dtype)
             return aggregate_windowed(fwd_wd, bwd_wd, impl), perm
         except ValueError:
             # int8 pre-check passed but ACCUMULATED duplicate-edge weights
