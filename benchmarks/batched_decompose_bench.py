@@ -137,14 +137,13 @@ def main(argv=None):
           f"{t_steps * n_envs / full / 1e3:.0f}k transitions/s", flush=True)
 
     # ---- phase inputs (computed once, eagerly) ---------------------------
-    def perturb(tree, s, leaf=0):
-        leaves, treedef = jax.tree.flatten(tree)
-        fl = [l for l in leaves if jnp.issubdtype(l.dtype, jnp.floating)]
-        fl[leaf] = fl[leaf] + s * 1e-12
-        it = iter(fl)
-        new = [next(it) if jnp.issubdtype(l.dtype, jnp.floating) else l
-               for l in leaves]
-        return jax.tree.unflatten(treedef, new)
+    def perturb(tree, s):
+        # EVERY float leaf moves with the carry: if the perturbation fed
+        # only one (possibly unused) leaf, XLA hoists the whole phase out
+        # of the timing loop as loop-invariant and the phase measures ~0
+        return jax.tree.map(
+            lambda l: l + s.astype(l.dtype) * 1e-12
+            if jnp.issubdtype(l.dtype, jnp.floating) else l, tree)
 
     kc = jax.random.split(jax.random.PRNGKey(2), n_envs)
     chan_fn = jax.jit(lambda es: jax.vmap(

@@ -62,10 +62,16 @@ def main(argv=None):
         h16 = jax.random.normal(jax.random.PRNGKey(1), (n, f)
                                 ).astype(jnp.bfloat16)
 
-        blk = graph_lib.block_by_receiver(gb, r_block=256)
+        # cap the per-block slot count: e_block ~ deg * r_block and the
+        # kernel's VMEM scope (msgs + one-hot) OOMs past ~12k slots
+        r_blk = 256
+        while deg * r_blk > 10_000 and r_blk > 32:
+            r_blk //= 2
+        blk = graph_lib.block_by_receiver(gb, r_block=r_blk)
         t = bench(lambda h, b: spmm.spmm_blocked(h, b, impl="pallas"),
                   h16, iters=args.iters, data=(blk,))
         report(f"sweep_deg{deg}_blocked_bf16", e, t)
+        print(f"#   blocked r_block={r_blk}", flush=True)
 
         wd = graph_lib.window_dense(gb, r_block=256, dtype=jnp.bfloat16)
         t = bench(lambda h, w: spmm.spmm_windowed(h, w), h16,

@@ -557,6 +557,12 @@ class PagedCellGraph:
     """Paged (receiver-block x sender-chunk) cell layout for the fused
     gather+reduce SpMM kernel (`ops.spmm.spmm_paged`).
 
+    EXPERIMENTAL (round-4 degree sweep, docs/RESULTS.md): loses to the
+    blocked kernel at every measured density (degrees 10-128 at ~1M
+    edges) and the windowed-dense layout dominates the high-degree
+    regime this kernel was kept for. Retained as the reference
+    implementation of in-kernel one-hot gathering only.
+
     Edges are bucketed into cells (receiver block b of R_BLOCK rows, sender
     chunk c of CHUNK rows) and each cell's slots are split into fixed-size
     PAGES (PAGE edge slots). One kernel grid step processes one page: the
