@@ -129,22 +129,30 @@ def main(argv=None):
             part = graph_parallel.partition_for_ring_windowed(
                 gb, num_devices=d, r_block=256)
             n_pad = part.num_devices * part.nodes_per_device
-            ring = graph_parallel.make_ring_spmm_windowed_gspmd(mesh, part)
             from jax.sharding import NamedSharding, PartitionSpec as P
             h_pad = jax.device_put(
                 jnp.zeros((n_pad, f), h.dtype).at[:n].set(h),
                 NamedSharding(mesh, P("data")))
-            t = bench_chain(
-                lambda hp, a, ws, br: ring.run(hp, a, ws, br
-                                               ).astype(hp.dtype),
-                h_pad, data=ring.prepare())
-            rate = e_geo / t
-            eff = rate / (base_rate * d)
-            print(json.dumps({
-                "metric": f"spmm_ring_windowed_{d}dev",
-                "value": round(rate / 1e9, 4), "unit": "Gedges/s",
-                "vs_baseline": round(rate / base_rate, 3),
-            }) + f"  # scaling efficiency {eff:.1%}")
+            pallas_impl = ("pallas" if jax.default_backend() == "tpu"
+                           else "pallas_interpret")
+            for tag, builder in (
+                    ("windowed", lambda m, p:
+                     graph_parallel.make_ring_spmm_windowed_gspmd(m, p)),
+                    ("windowed_pallas", lambda m, p:
+                     graph_parallel.make_ring_spmm_windowed_pallas_gspmd(
+                         m, p, impl=pallas_impl))):
+                ring = builder(mesh, part)
+                t = bench_chain(
+                    lambda hp, a, ws, br: ring.run(hp, a, ws, br
+                                                   ).astype(hp.dtype),
+                    h_pad, data=ring.prepare())
+                rate = e_geo / t
+                eff = rate / (base_rate * d)
+                print(json.dumps({
+                    "metric": f"spmm_ring_{tag}_{d}dev",
+                    "value": round(rate / 1e9, 4), "unit": "Gedges/s",
+                    "vs_baseline": round(rate / base_rate, 3),
+                }) + f"  # scaling efficiency {eff:.1%}")
             d *= 2
 
 
