@@ -43,6 +43,20 @@ class EnvState(struct.PyTreeNode):
     step: jax.Array            # [] int32
 
 
+
+# 10**(x/10) as a fused exp: XLA lowers a generic `pow` through a
+# multi-op log/exp path; the explicit form is one multiply + one exp and
+# measured faster in the batched reward phase (config-3 decomposition,
+# docs/RESULTS.md round 4). Numerically within 1-2 ulp of `10 ** (x/10)`
+# (golden tests carry tolerances; rollout equality tests compare programs
+# that both use this form).
+_LN10_OVER_10 = 0.23025850929940458
+
+
+def _db_to_lin(x_db):
+    return jnp.exp(x_db * _LN10_OVER_10)
+
+
 # ---------------------------------------------------------------------------
 # Derived channel tensors
 # ---------------------------------------------------------------------------
@@ -176,45 +190,64 @@ def compute_reward_with_channel_selection(
     p_v2v = cfg.v2v_power_levels_dbm[cfg.fixed_v2v_power_index]
     active = state.activate_links                  # [N, M] bool
     dest = state.destinations                      # [N, M]
-    tx = jnp.broadcast_to(jnp.arange(n)[:, None], (n, m))
+
+    # All channel selections below are expressed as one-hot CONTRACTIONS
+    # instead of advanced-index gathers: under the config-3 vmap
+    # ([T*E]-batched tiny tensors) XLA's batched fancy-gather was the
+    # reward phase's dominant cost (decomposition, docs/RESULTS.md
+    # round 4); tiny einsums fuse and batch cleanly. HIGHEST precision is
+    # required — ~100 dB channel values lose ~0.5 dB in a bf16 multiply.
+    hi = jax.lax.Precision.HIGHEST
+    onehot = jax.nn.one_hot(actions, r, dtype=v2v_ff.dtype)     # [N, M, R]
+    onehot_dest = jax.nn.one_hot(dest, n, dtype=v2v_ff.dtype)   # [N, M, N]
 
     # --- V2I interference at the BS, accumulated per selected RB
     # (Environment.py:413-421): one-hot segment-sum onto the RB axis.
-    v2i_gain = jnp.take_along_axis(v2i_ff, actions, axis=1)  # [N, M] (M<=R)
-    v2i_term = 10.0 ** ((p_v2v - v2i_gain + cfg.veh_ant_gain + cfg.bs_ant_gain
-                         - cfg.bs_noise_figure) / 10.0)
-    onehot = jax.nn.one_hot(actions, r, dtype=v2i_term.dtype)  # [N, M, R]
-    v2i_interference = jnp.einsum("nm,nmr->r", v2i_term * active, onehot)
+    v2i_gain = jnp.einsum("nr,nmr->nm", v2i_ff, onehot,
+                          precision=hi)                         # [N, M]
+    v2i_term = _db_to_lin(p_v2v - v2i_gain + cfg.veh_ant_gain
+                          + cfg.bs_ant_gain - cfg.bs_noise_figure)
+    v2i_interference = jnp.einsum("nm,nmr->r", v2i_term * active, onehot,
+                                  precision=hi)
     v2i_interference_total = v2i_interference + cfg.sig2
 
     # --- V2V link signal (Environment.py:430-433).
-    g_sig = v2v_ff[tx, dest, actions]              # [N, M]
+    g_sig = jnp.einsum("nbr,nmb,nmr->nm", v2v_ff, onehot_dest, onehot,
+                       precision=hi)               # ff[tx, dest, action]
     link_gain_const = 2.0 * cfg.veh_ant_gain - cfg.veh_noise_figure
-    v2v_signal = active * 10.0 ** ((p_v2v - g_sig + link_gain_const) / 10.0)
+    v2v_signal = active * _db_to_lin(p_v2v - g_sig + link_gain_const)
 
     # --- V2I -> V2V cross interference (Environment.py:434-438): the V2I
     # transmitter on RB b is modeled as vehicle row b (only when b < N).
     rb_ok = actions < n
-    safe_rb = jnp.minimum(actions, n - 1)
-    g_cross = v2v_ff[safe_rb, dest, actions]       # [N, M]
-    cross = rb_ok * active * 10.0 ** ((cfg.v2i_power_dbm - g_cross
-                                       + link_gain_const) / 10.0)
+    # ff_rdiag[r_, b] = v2v_ff[r_, b, r_] (the RB-as-vehicle-row quirk)
+    ff_rdiag = jnp.einsum("abr,ar->rb", v2v_ff,
+                          jnp.eye(n, r, dtype=v2v_ff.dtype), precision=hi)
+    g_cross = jnp.einsum("rb,nmb,nmr->nm", ff_rdiag, onehot_dest, onehot,
+                         precision=hi)
+    cross = rb_ok * active * _db_to_lin(cfg.v2i_power_dbm - g_cross
+                                        + link_gain_const)
 
     # --- pairwise co-channel V2V interference (Environment.py:440-451):
     # links flattened to L = N*M; interference at link l from every other
     # active link l2 sharing its RB, with gain v2v_ff[tx_l2, rx_l, rb_l].
-    tx_f = tx.reshape(-1)
-    rx_f = dest.reshape(-1)
     rb_f = actions.reshape(-1)
     act_f = active.reshape(-1)
     L = n * m
-    # gain[l, l2] = channel from transmitter of l2 to receiver of l on rb_l
-    gain = v2v_ff[tx_f[None, :], rx_f[:, None], rb_f[:, None]]  # [L, L]
+    od_f = onehot_dest.reshape(L, n)
+    oa_f = onehot.reshape(L, r)
+    # tx of flattened link l2 is l2 // m: contract ff's tx axis against
+    # the link->tx one-hot
+    onehot_tx = jax.nn.one_hot(
+        jnp.arange(L) // m, n, dtype=v2v_ff.dtype)              # [L, N]
+    ff_t = jnp.einsum("abc,ta->tbc", v2v_ff, onehot_tx, precision=hi)
+    gain = jnp.einsum("tbc,lb,lc->lt", ff_t, od_f, oa_f,
+                      precision=hi)                             # [L, L]
     same_rb = rb_f[:, None] == rb_f[None, :]
     pair_mask = (same_rb & act_f[:, None] & act_f[None, :]
                  & ~jnp.eye(L, dtype=bool))
     v2v_interf = jnp.sum(
-        pair_mask * 10.0 ** ((p_v2v - gain + link_gain_const) / 10.0), axis=1)
+        pair_mask * _db_to_lin(p_v2v - gain + link_gain_const), axis=1)
     v2v_interf = v2v_interf.reshape(n, m) + cross
     v2v_interference_total = v2v_interf + cfg.sig2
 
@@ -225,7 +258,7 @@ def compute_reward_with_channel_selection(
     k = min(r, n)
     v2i_signal_db = (cfg.v2i_power_dbm - state.v2i_abs[:k] + cfg.veh_ant_gain
                      + cfg.bs_ant_gain - cfg.bs_noise_figure)
-    v2i_rate = jnp.log2(1.0 + 10.0 ** (v2i_signal_db / 10.0)
+    v2i_rate = jnp.log2(1.0 + _db_to_lin(v2i_signal_db)
                         / v2i_interference_total[:k])
 
     return v2v_rate, v2i_rate, v2i_interference
@@ -254,10 +287,14 @@ def compute_interference_obs(state: EnvState, actions: jax.Array,
     # vehicle row i of the V2V channel tensor. Requires R <= N (true for the
     # reference configs where R == N).
     assert r <= n, "interference observation assumes n_rb <= n_veh (as reference)"
+    # (unlike the reward engine, these gathers measured FASTER than their
+    # one-hot contraction forms in the config-3 step — A/B'd in round 4:
+    # the [N, M, R]-shaped direct gather vectorizes fine, and the obs runs
+    # once per stacked state where the contraction setup cost repeats)
     rb_idx = jnp.arange(r)
     # g[k, m_, i] = v2v_ff[i, dest[k, m_], i]
     g = v2v_ff[rb_idx[None, None, :], dest[:, :, None], rb_idx[None, None, :]]
-    interf = interf + 10.0 ** ((cfg.v2i_power_dbm - g + link_gain_const) / 10.0)
+    interf = interf + _db_to_lin(cfg.v2i_power_dbm - g + link_gain_const)
 
     if cfg.faithful_quirks:
         # Dead-code branch reproduced: inactive links (i,j) add their power to
@@ -268,8 +305,8 @@ def compute_interference_obs(state: EnvState, actions: jax.Array,
         inactive = sel < 0                                # [N, M] contributors
         # contribution of link (i,j) to obs (k, m_): gain v2v_ff[i, dest[k,m_], -1]
         g_last = v2v_ff[:, :, r - 1]                      # [N(tx), N(rx)]
-        contrib = 10.0 ** ((p_v2v - g_last[:, dest]) / 10.0
-                           + link_gain_const / 10.0)      # [N(tx), N(rx=k), M]
+        contrib = _db_to_lin(p_v2v - g_last[:, dest]
+                             + link_gain_const)           # [N(tx), N(rx=k), M]
         not_self = ~jnp.eye(n, dtype=bool)                # i != k
         weight = (inactive.sum(axis=1)[:, None] * not_self)  # [N(tx), N(k)]
         add_last = jnp.einsum("ik,ikm->km", weight.astype(contrib.dtype),
