@@ -193,14 +193,17 @@ def default_aggregate(graph: COOGraph, dtype=jnp.bfloat16,
         hbm_bytes=hbm_bytes)
     while kind == "windowed":
         try:
-            # variable-width bucketed layout: measured fastest (the 0.72x
-            # A-element cut pays on the VPU int8 conversion path, +10%
-            # edges/s over uniform) AND the memory win at config-5 scale
-            # (docs/RESULTS.md round-4 roofline)
-            fwd_wd = graph_lib.window_dense_bucketed(g_bfs, r_block,
-                                                     dtype=a_dtype)
-            bwd_wd = graph_lib.window_dense_bucketed(g_bfs.transpose(),
-                                                     r_block, dtype=a_dtype)
+            # UNIFORM windows by default: the variable-width bucketed
+            # layout wins +10% at the isolated-kernel level (3.90 vs 3.57
+            # Gedges/s fwd int8) but measured 8% SLOWER in the composed
+            # training step (219.6 vs 239.5 steps/s at 100k nodes,
+            # benchmarks/sparse_train_bench.py --bucketed) — build
+            # bucketed layouts explicitly for fwd-dominated inference or
+            # when the A-memory cut (0.80x) is needed at config-5 scale.
+            fwd_wd = graph_lib.window_dense(g_bfs, r_block, window,
+                                            a_dtype)
+            bwd_wd = graph_lib.window_dense(g_bfs.transpose(),
+                                            r_block=r_block, dtype=a_dtype)
             return aggregate_windowed(fwd_wd, bwd_wd, impl), perm
         except ValueError:
             # int8 pre-check passed but ACCUMULATED duplicate-edge weights
