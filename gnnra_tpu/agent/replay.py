@@ -85,12 +85,18 @@ def add(state: ReplayState, node, edge, adj, action, reward,
 
 def add_batch(state: ReplayState, node, edge, adj, action, reward,
               next_node, next_edge) -> ReplayState:
-    """Append a [T, ...] batch of transitions in one scatter per buffer.
+    """Append a [T, ...] batch of transitions (FIFO rows at
+    (cursor + arange(T)) % capacity, reference BS_brain.py:252-256).
 
-    A whole rollout burst lands as a single row-scatter (indices
-    (cursor + arange(T)) % capacity) instead of T dynamic-update-slices —
-    the difference between one fused write kernel and T serial ones inside
-    the training scan."""
+    The burst is a CONTIGUOUS run of rows, so whenever it does not wrap the
+    ring edge it lands as one `dynamic_update_slice` per buffer — a straight
+    DMA — with the row-scatter kept only for the wrap step. TPU row scatters
+    with dynamic indices execute row-by-row: at config-3 scale (12,800-row
+    bursts into a 200k ring) the seven scatters were ~5 ms of the 11 ms
+    train step, and the cond'd DUS path measures 11× faster (4.34 → 0.39 ms
+    for the five wide buffers). When capacity is a multiple of the burst
+    size (the parity config's 1M ring % 50 == 0 already is), the cursor
+    stays burst-aligned and the fast branch runs every step."""
     t = reward.shape[0]
     capacity = state.reward.shape[0]
     # With t > capacity the modular indices repeat and .at[idx].set resolves
@@ -98,16 +104,26 @@ def add_batch(state: ReplayState, node, edge, adj, action, reward,
     # burst sizes far below capacity, so reject the degenerate case outright.
     assert t <= capacity, (
         f"replay burst of {t} transitions exceeds ring capacity {capacity}")
-    idx = (state.cursor + jnp.arange(t)) % capacity
+    c = state.cursor
+    updates = {
+        "node": node.reshape(t, -1), "edge": edge.reshape(t, -1),
+        "adj": adj.reshape(t, -1), "action": action, "reward": reward,
+        "next_node": next_node.reshape(t, -1),
+        "next_edge": next_edge.reshape(t, -1)}
+    bufs = {k: getattr(state, k) for k in updates}
+
+    def contiguous(bufs):
+        return {k: jax.lax.dynamic_update_slice(
+            b, updates[k], (c,) + (0,) * (b.ndim - 1))
+            for k, b in bufs.items()}
+
+    def wrapped(bufs):
+        idx = (c + jnp.arange(t)) % capacity
+        return {k: b.at[idx].set(updates[k]) for k, b in bufs.items()}
+
+    new = jax.lax.cond(c + t <= capacity, contiguous, wrapped, bufs)
     return state.replace(
-        node=state.node.at[idx].set(node.reshape(t, -1)),
-        edge=state.edge.at[idx].set(edge.reshape(t, -1)),
-        adj=state.adj.at[idx].set(adj.reshape(t, -1)),
-        action=state.action.at[idx].set(action),
-        reward=state.reward.at[idx].set(reward),
-        next_node=state.next_node.at[idx].set(next_node.reshape(t, -1)),
-        next_edge=state.next_edge.at[idx].set(next_edge.reshape(t, -1)),
-        cursor=(state.cursor + t) % capacity,
+        **new, cursor=(c + t) % capacity,
         size=jnp.minimum(state.size + t, capacity))
 
 

@@ -37,15 +37,24 @@ def get_state(state: vehicular.EnvState, cfg: EnvConfig
     v2v_ff = vehicular.v2v_channels_with_fastfading(state)   # [N, N, R]
     v2i_ff = vehicular.v2i_channels_with_fastfading(state)   # [N, R]
     dest = state.destinations                                # [N, M]
-    tx = jnp.arange(n)[:, None]
 
-    v2v_channel = (v2v_ff[tx, dest, :] - CONSTANT_A) / CONSTANT_B   # [N, M, R]
+    # Destination selections as one-hot CONTRACTIONS, not advanced-index
+    # gathers: under the config-3 [T*E]-vmap, XLA's batched fancy-gathers
+    # on these two sites were ~1.4 ms of the train step (round-4 profile),
+    # the same pathology the reward engine hit (vehicular.py:194-199).
+    # HIGHEST precision keeps the selection exact (one 1.0 per row).
+    hi = jax.lax.Precision.HIGHEST
+    onehot_dest = jax.nn.one_hot(dest, n, dtype=v2v_ff.dtype)     # [N, M, N]
+    v2v_sel = jnp.einsum("nmk,nkr->nmr", onehot_dest, v2v_ff,
+                         precision=hi)               # ff[tx, dest, :]
+    v2v_channel = (v2v_sel - CONSTANT_A) / CONSTANT_B               # [N, M, R]
     v2i_channel = (v2i_ff - CONSTANT_A) / CONSTANT_B                # [N, R]
 
     # edge = ((sum_k ff[k, d, :] - ff[d, d, :] - (N-1)*A)/B - v2v_channel)/(N-2)
     col_sum = jnp.sum(v2v_ff, axis=0)                 # [N(rx), R]
-    diag = v2v_ff[jnp.arange(n), jnp.arange(n), :]    # [N, R]
-    others = col_sum[dest] - diag[dest]               # [N, M, R]
+    diag = jnp.einsum("kkr->kr", v2v_ff)              # [N, R]
+    others = jnp.einsum("nmk,kr->nmr", onehot_dest, col_sum - diag,
+                        precision=hi)                 # (col_sum-diag)[dest]
     v2v_edge = (((others - (n - 1) * CONSTANT_A) / CONSTANT_B) - v2v_channel) \
         / (n - 2)
     return v2v_channel, v2i_channel, v2v_edge
