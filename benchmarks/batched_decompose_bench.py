@@ -98,7 +98,10 @@ def main(argv=None):
 
     env_cfg = EnvConfig()
     model_cfg = ModelConfig()
-    train_cfg = TrainConfig(num_envs=args.envs, memory_capacity=200_000)
+    # capacity rounded to a burst multiple -> cond-free DUS ring append
+    burst = TrainConfig().transitions_per_step * args.envs
+    train_cfg = TrainConfig(num_envs=args.envs,
+                            memory_capacity=-(-200_000 // burst) * burst)
     n_envs = args.envs
     t_steps = train_cfg.transitions_per_step
     total = 10_000_000

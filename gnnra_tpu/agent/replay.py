@@ -121,7 +121,18 @@ def add_batch(state: ReplayState, node, edge, adj, action, reward,
         idx = (c + jnp.arange(t)) % capacity
         return {k: b.at[idx].set(updates[k]) for k, b in bufs.items()}
 
-    new = jax.lax.cond(c + t <= capacity, contiguous, wrapped, bufs)
+    if capacity % t == 0:
+        # Burst size divides capacity (both static), so a ring fed only by
+        # size-t bursts keeps its cursor t-aligned and a burst NEVER wraps:
+        # emit the DUS with no conditional (the cond itself measured
+        # ~0.4 ms/step at config-3 scale). If the cursor was desynced by
+        # interleaved `add` calls, dynamic_update_slice's index clamp keeps
+        # the write in bounds (rows land at capacity-t instead of
+        # wrapping) — stay on the cond'd path by choosing a non-divisible
+        # capacity if mixing per-row and burst appends.
+        new = contiguous(bufs)
+    else:
+        new = jax.lax.cond(c + t <= capacity, contiguous, wrapped, bufs)
     return state.replace(
         **new, cursor=(c + t) % capacity,
         size=jnp.minimum(state.size + t, capacity))

@@ -222,8 +222,15 @@ def scaled_config() -> RunConfig:
 
 
 def batched_config(num_envs: int = 256) -> RunConfig:
-    """Config 3: 256 parallel environment graphs, vectorized channel sim."""
-    train = TrainConfig(num_envs=num_envs, memory_capacity=200_000)
+    """Config 3: 256 parallel environment graphs, vectorized channel sim.
+
+    Replay capacity is rounded up to a multiple of the burst size
+    (transitions_per_step * num_envs) so `replay.add_batch` keeps its
+    cursor burst-aligned and emits the conditional-free
+    dynamic-update-slice append (see replay.add_batch)."""
+    burst = TrainConfig().transitions_per_step * num_envs
+    capacity = -(-200_000 // burst) * burst
+    train = TrainConfig(num_envs=num_envs, memory_capacity=capacity)
     return RunConfig(train=train, name="batched")
 
 

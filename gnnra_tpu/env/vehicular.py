@@ -199,7 +199,6 @@ def compute_reward_with_channel_selection(
     # required — ~100 dB channel values lose ~0.5 dB in a bf16 multiply.
     hi = jax.lax.Precision.HIGHEST
     onehot = jax.nn.one_hot(actions, r, dtype=v2v_ff.dtype)     # [N, M, R]
-    onehot_dest = jax.nn.one_hot(dest, n, dtype=v2v_ff.dtype)   # [N, M, N]
 
     # --- V2I interference at the BS, accumulated per selected RB
     # (Environment.py:413-421): one-hot segment-sum onto the RB axis.
@@ -211,9 +210,26 @@ def compute_reward_with_channel_selection(
                                   precision=hi)
     v2i_interference_total = v2i_interference + cfg.sig2
 
-    # --- V2V link signal (Environment.py:430-433).
-    g_sig = jnp.einsum("nbr,nmb,nmr->nm", v2v_ff, onehot_dest, onehot,
-                       precision=hi)               # ff[tx, dest, action]
+    # --- pairwise gain table, computed once for signal AND interference:
+    # gain[l, t] = ff[tx_t, dest_l, action_l], via ONE combined
+    # (dest, action) one-hot over the flattened [N*R] trailing axes (the
+    # profile showed the two-one-hot form "tbc,lb,lc->lt" plus its layout
+    # copies at ~0.8 ms of the config-3 step; one contraction halves the
+    # work and drops the 5-D intermediates). For m == 1 the tx axis is
+    # already link-ordered, so the link->tx contraction is an identity.
+    L = n * m
+    onehot_tx = jax.nn.one_hot(
+        jnp.arange(L) // m, n, dtype=v2v_ff.dtype)              # [L, N]
+    ff_t = v2v_ff if m == 1 else jnp.einsum(
+        "abc,ta->tbc", v2v_ff, onehot_tx, precision=hi)         # [L, N, R]
+    oj = jax.nn.one_hot(dest.reshape(-1) * r + actions.reshape(-1),
+                        n * r, dtype=v2v_ff.dtype)              # [L, N*R]
+    gain = jnp.einsum("tj,lj->lt", ff_t.reshape(L, n * r), oj,
+                      precision=hi)                             # [L, L]
+
+    # --- V2V link signal (Environment.py:430-433): ff[tx_l, dest_l,
+    # action_l] is the diagonal of the pairwise table.
+    g_sig = jnp.einsum("ll->l", gain).reshape(n, m)
     link_gain_const = 2.0 * cfg.veh_ant_gain - cfg.veh_noise_figure
     v2v_signal = active * _db_to_lin(p_v2v - g_sig + link_gain_const)
 
@@ -223,26 +239,21 @@ def compute_reward_with_channel_selection(
     # ff_rdiag[r_, b] = v2v_ff[r_, b, r_] (the RB-as-vehicle-row quirk)
     ff_rdiag = jnp.einsum("abr,ar->rb", v2v_ff,
                           jnp.eye(n, r, dtype=v2v_ff.dtype), precision=hi)
-    g_cross = jnp.einsum("rb,nmb,nmr->nm", ff_rdiag, onehot_dest, onehot,
-                         precision=hi)
+    # g_cross[l] = ff_rdiag[action_l, dest_l]: one combined one-hot over
+    # the flattened [R*N] table (same rewrite as `gain` above).
+    ocross = jax.nn.one_hot(actions.reshape(-1) * n + dest.reshape(-1),
+                            r * n, dtype=v2v_ff.dtype)          # [L, R*N]
+    g_cross = jnp.einsum("j,lj->l", ff_rdiag.reshape(-1), ocross,
+                         precision=hi).reshape(n, m)
     cross = rb_ok * active * _db_to_lin(cfg.v2i_power_dbm - g_cross
                                         + link_gain_const)
 
     # --- pairwise co-channel V2V interference (Environment.py:440-451):
     # links flattened to L = N*M; interference at link l from every other
-    # active link l2 sharing its RB, with gain v2v_ff[tx_l2, rx_l, rb_l].
+    # active link l2 sharing its RB, with gain[l, l2] from the pairwise
+    # table computed above.
     rb_f = actions.reshape(-1)
     act_f = active.reshape(-1)
-    L = n * m
-    od_f = onehot_dest.reshape(L, n)
-    oa_f = onehot.reshape(L, r)
-    # tx of flattened link l2 is l2 // m: contract ff's tx axis against
-    # the link->tx one-hot
-    onehot_tx = jax.nn.one_hot(
-        jnp.arange(L) // m, n, dtype=v2v_ff.dtype)              # [L, N]
-    ff_t = jnp.einsum("abc,ta->tbc", v2v_ff, onehot_tx, precision=hi)
-    gain = jnp.einsum("tbc,lb,lc->lt", ff_t, od_f, oa_f,
-                      precision=hi)                             # [L, L]
     same_rb = rb_f[:, None] == rb_f[None, :]
     pair_mask = (same_rb & act_f[:, None] & act_f[None, :]
                  & ~jnp.eye(L, dtype=bool))
