@@ -539,8 +539,8 @@ def train_episodes(agent: AgentState, key: jax.Array, env_cfg: EnvConfig,
 
     Device<->host latency dominates a per-episode driver (each transfer is a
     full round trip), so metrics are packed into a single array
-    [C, S, 5N + T*num_envs]: the five per-head metric families
-    (PACKED_METRICS order) followed by the per-transition rewards.
+    [C, S, 5N + 1]: the five per-head metric families (PACKED_METRICS
+    order) followed by the per-train-step reward total.
     `unpack_episode_metrics` restores the dict on host.
     """
 
@@ -548,8 +548,13 @@ def train_episodes(agent: AgentState, key: jax.Array, env_cfg: EnvConfig,
         agent, rewards, metrics = train_episode(
             agent, k, env_cfg, model_cfg, train_cfg, num_train_steps,
             total_env_steps, num_envs)
+        # Rewards are reduced ON DEVICE to the per-train-step total: the
+        # host only ever sums them (per-episode returns), and the tunnel
+        # moves ~3-4 MB/s — per-transition detail was 50 of the 70 packed
+        # floats per step (round-4 transfer measurement).
         packed = jnp.concatenate(
-            [metrics[name] for name in PACKED_METRICS] + [rewards], axis=-1)
+            [metrics[name] for name in PACKED_METRICS]
+            + [rewards.sum(axis=-1, keepdims=True)], axis=-1)
         return agent, packed
 
     keys = jax.random.split(key, num_episodes)
@@ -601,8 +606,8 @@ def train_episodes_snapshots(agent: AgentState, key: jax.Array,
 def unpack_episode_metrics(packed, n_nodes: int):
     """Host-side inverse of the train_episodes packing.
 
-    packed: [C, S, 5N + T] numpy array ->
-    (metrics dict of [C, S, N] arrays, rewards [C, S, T])."""
+    packed: [C, S, 5N + 1] numpy array ->
+    (metrics dict of [C, S, N] arrays, per-step reward totals [C, S, 1])."""
     out = {}
     for i, name in enumerate(PACKED_METRICS):
         out[name] = packed[..., i * n_nodes:(i + 1) * n_nodes]

@@ -1,25 +1,32 @@
 """Device-resident replay memory.
 
 Re-designs `class Memory` (reference BS_brain.py:245-270) — a Python list of
-numpy tuples sampled on host — as a fixed-size ring of device arrays updated
-with row scatters inside jit, so transition generation and replay sampling
-never leave the TPU.
+numpy tuples sampled on host — as a fixed-size ring of device rows updated
+inside jit, so transition generation and replay sampling never leave the TPU.
 
 A transition stores the GNN inputs directly (node/edge features + adjacency)
 instead of the reference's flat concatenated state vector
 (BS_brain.py:469,545); the next state shares the current adjacency, which is
 also the reference's behavior (S' adjacency aliased to S at BS_brain.py:583).
 
-Storage layout: every per-transition tensor is kept FLATTENED to a 2-D
-[capacity, flat] row — `gather` restores the model-facing [B, N, ...] shapes.
-This is a TPU performance invariant, not a cosmetic choice: with 3-D
-[C, N, D] buffers, XLA's layout assignment gives the in-loop row *gather*
-(replay sampling) a batch-minor layout while the row *scatter* (rollout
-append) keeps the row-major carry layout, and reconciles the two with a
-full-ring relayout copy EVERY training step — measured ~2 ms/step at
-capacity 100k (~40 % of the whole DQN train step, scaling linearly with
-capacity). Flat 2-D rows give both ops the same layout and the copy
-disappears (microbench: 440 -> 120 us per scatter+gather+consume iteration).
+Storage layout — two invariants, both measured on TPU:
+
+1. Rows are FLAT: the ring is a single 2-D [capacity, row] f32 array; field
+   tensors are packed into static column spans and restored to model-facing
+   [B, N, ...] shapes at gather time. With 3-D [C, N, D] buffers, XLA's
+   layout assignment gives the in-loop row *gather* (sampling) a batch-minor
+   layout while the row *scatter/DUS* (append) keeps the row-major carry
+   layout, and reconciles the two with a full-ring relayout copy EVERY
+   training step (~2 ms at capacity 100k, linear in capacity).
+2. One buffer, not one per field: TPU row gathers pay a per-row cost, so
+   seven per-field gathers of the same 512 sampled rows cost ~7 fixed
+   overheads (measured ~48 us of the 341 us parity train step); a single
+   [B, row] gather + static column slices pays it once. The append
+   (`dynamic_update_slice` of a contiguous burst — row scatters execute
+   row-by-row on TPU and measured 11x slower) also lands as ONE write.
+
+Actions are stored as f32 rows like everything else (RB indices are tiny
+integers, exactly representable; gather rounds them back to int32).
 """
 
 from __future__ import annotations
@@ -36,33 +43,72 @@ from gnnra_tpu.config import ModelConfig, TrainConfig
 class ReplayState(struct.PyTreeNode):
     """Ring buffer of transitions (capacity C, N nodes).
 
-    Buffers are stored flattened per row (see module docstring); `dims`
-    carries the static (n_nodes, node_dim, edge_dim) needed to restore
-    model-facing shapes at gather time.
+    `data` rows pack [node (N*dn) | edge (N*de) | adj (N*N) | action (N) |
+    reward (1) | next_node (N*dn) | next_edge (N*de)]; `dims` carries the
+    static (n_nodes, node_dim, edge_dim) needed to split them.
     """
 
-    node: jax.Array       # [C, N*node_dim]   current state, flattened
-    edge: jax.Array       # [C, N*edge_dim]
-    adj: jax.Array        # [C, N*N]          shared by S and S'
-    action: jax.Array     # [C, N] int32      RB per node (n_neighbor=1 flat)
-    reward: jax.Array     # [C]               shared global reward
-    next_node: jax.Array  # [C, N*node_dim]
-    next_edge: jax.Array  # [C, N*edge_dim]
+    data: jax.Array       # [C, row] f32
     cursor: jax.Array     # [] int32  next write slot
     size: jax.Array       # [] int32  number of valid entries
     dims: Tuple[int, int, int] = struct.field(pytree_node=False)
 
+    def _span(self, i: int) -> jax.Array:
+        n, dn, de = self.dims
+        spans = [n * dn, n * de, n * n, n, 1, n * dn, n * de]
+        off = sum(spans[:i])
+        return self.data[:, off:off + spans[i]]
+
+    # Column views (whole-ring, flat rows) — introspection/test convenience;
+    # the training path uses `gather`.
+    @property
+    def node(self) -> jax.Array:
+        return self._span(0)
+
+    @property
+    def edge(self) -> jax.Array:
+        return self._span(1)
+
+    @property
+    def adj(self) -> jax.Array:
+        return self._span(2)
+
+    @property
+    def action(self) -> jax.Array:
+        return jnp.round(self._span(3)).astype(jnp.int32)
+
+    @property
+    def reward(self) -> jax.Array:
+        return self._span(4)[:, 0]
+
+    @property
+    def next_node(self) -> jax.Array:
+        return self._span(5)
+
+    @property
+    def next_edge(self) -> jax.Array:
+        return self._span(6)
+
+
+def _row_width(n: int, dn: int, de: int) -> int:
+    return n * dn + n * de + n * n + n + 1 + n * dn + n * de
+
 
 def init(model_cfg: ModelConfig, capacity: int) -> ReplayState:
     n, dn, de = model_cfg.n_nodes, model_cfg.node_dim, model_cfg.edge_dim
-    z = jnp.zeros
     return ReplayState(
-        node=z((capacity, n * dn)), edge=z((capacity, n * de)),
-        adj=z((capacity, n * n)), action=z((capacity, n), jnp.int32),
-        reward=z((capacity,)), next_node=z((capacity, n * dn)),
-        next_edge=z((capacity, n * de)),
+        data=jnp.zeros((capacity, _row_width(n, dn, de))),
         cursor=jnp.zeros((), jnp.int32), size=jnp.zeros((), jnp.int32),
         dims=(n, dn, de))
+
+
+def _pack(t: int, node, edge, adj, action, reward, next_node, next_edge
+          ) -> jax.Array:
+    return jnp.concatenate(
+        [node.reshape(t, -1), edge.reshape(t, -1), adj.reshape(t, -1),
+         action.reshape(t, -1).astype(jnp.float32),
+         reward.reshape(t, 1),
+         next_node.reshape(t, -1), next_edge.reshape(t, -1)], axis=1)
 
 
 def add(state: ReplayState, node, edge, adj, action, reward,
@@ -70,15 +116,11 @@ def add(state: ReplayState, node, edge, adj, action, reward,
     """Append one transition (FIFO overwrite past capacity,
     reference BS_brain.py:252-256)."""
     c = state.cursor
-    capacity = state.reward.shape[0]
+    capacity = state.data.shape[0]
+    row = _pack(1, node, edge, adj, action, jnp.reshape(reward, (1,)),
+                next_node, next_edge)
     return state.replace(
-        node=state.node.at[c].set(node.reshape(-1)),
-        edge=state.edge.at[c].set(edge.reshape(-1)),
-        adj=state.adj.at[c].set(adj.reshape(-1)),
-        action=state.action.at[c].set(action),
-        reward=state.reward.at[c].set(reward),
-        next_node=state.next_node.at[c].set(next_node.reshape(-1)),
-        next_edge=state.next_edge.at[c].set(next_edge.reshape(-1)),
+        data=jax.lax.dynamic_update_slice(state.data, row, (c, 0)),
         cursor=(c + 1) % capacity,
         size=jnp.minimum(state.size + 1, capacity))
 
@@ -89,52 +131,46 @@ def add_batch(state: ReplayState, node, edge, adj, action, reward,
     (cursor + arange(T)) % capacity, reference BS_brain.py:252-256).
 
     The burst is a CONTIGUOUS run of rows, so whenever it does not wrap the
-    ring edge it lands as one `dynamic_update_slice` per buffer — a straight
-    DMA — with the row-scatter kept only for the wrap step. TPU row scatters
-    with dynamic indices execute row-by-row: at config-3 scale (12,800-row
-    bursts into a 200k ring) the seven scatters were ~5 ms of the 11 ms
-    train step, and the cond'd DUS path measures 11× faster (4.34 → 0.39 ms
-    for the five wide buffers). When capacity is a multiple of the burst
-    size (the parity config's 1M ring % 50 == 0 already is), the cursor
-    stays burst-aligned and the fast branch runs every step."""
+    ring edge it lands as one `dynamic_update_slice` — a straight DMA —
+    with the row-scatter kept only for the wrap step. TPU row scatters
+    with dynamic indices execute row-by-row: at config-3 scale
+    (12,800-row bursts into a 200k ring) the per-field scatters were ~5 ms
+    of the 11 ms train step, and the DUS path measures 11x faster. When
+    capacity is a multiple of the burst size (the parity config's 1M ring
+    % 50 == 0 already is, and `batched_config` rounds capacity up), the
+    cursor stays burst-aligned and the conditional-free fast path is
+    emitted (the cond itself measured ~0.4 ms/step)."""
     t = reward.shape[0]
-    capacity = state.reward.shape[0]
+    capacity = state.data.shape[0]
     # With t > capacity the modular indices repeat and .at[idx].set resolves
     # duplicates nondeterministically (NOT FIFO-last-wins); every config keeps
     # burst sizes far below capacity, so reject the degenerate case outright.
     assert t <= capacity, (
         f"replay burst of {t} transitions exceeds ring capacity {capacity}")
     c = state.cursor
-    updates = {
-        "node": node.reshape(t, -1), "edge": edge.reshape(t, -1),
-        "adj": adj.reshape(t, -1), "action": action, "reward": reward,
-        "next_node": next_node.reshape(t, -1),
-        "next_edge": next_edge.reshape(t, -1)}
-    bufs = {k: getattr(state, k) for k in updates}
+    rows = _pack(t, node, edge, adj, action, reward, next_node, next_edge)
 
-    def contiguous(bufs):
-        return {k: jax.lax.dynamic_update_slice(
-            b, updates[k], (c,) + (0,) * (b.ndim - 1))
-            for k, b in bufs.items()}
+    def contiguous(data):
+        return jax.lax.dynamic_update_slice(data, rows, (c, 0))
 
-    def wrapped(bufs):
+    def wrapped(data):
         idx = (c + jnp.arange(t)) % capacity
-        return {k: b.at[idx].set(updates[k]) for k, b in bufs.items()}
+        return data.at[idx].set(rows)
 
     if capacity % t == 0:
         # Burst size divides capacity (both static), so a ring fed only by
         # size-t bursts keeps its cursor t-aligned and a burst NEVER wraps:
-        # emit the DUS with no conditional (the cond itself measured
-        # ~0.4 ms/step at config-3 scale). If the cursor was desynced by
+        # emit the DUS with no conditional. If the cursor was desynced by
         # interleaved `add` calls, dynamic_update_slice's index clamp keeps
         # the write in bounds (rows land at capacity-t instead of
         # wrapping) — stay on the cond'd path by choosing a non-divisible
         # capacity if mixing per-row and burst appends.
-        new = contiguous(bufs)
+        data = contiguous(state.data)
     else:
-        new = jax.lax.cond(c + t <= capacity, contiguous, wrapped, bufs)
+        data = jax.lax.cond(c + t <= capacity, contiguous, wrapped,
+                            state.data)
     return state.replace(
-        **new, cursor=(c + t) % capacity,
+        data=data, cursor=(c + t) % capacity,
         size=jnp.minimum(state.size + t, capacity))
 
 
@@ -150,7 +186,7 @@ def sample_indices(state: ReplayState, key: jax.Array, batch_size: int,
     """
     size = jnp.maximum(state.size, 1)
     if cfg.replay_sampling == "faithful":
-        capacity = state.reward.shape[0]
+        capacity = state.data.shape[0]
         # Gumbel top-k over valid slots = uniform sample without replacement.
         g = jax.random.gumbel(key, (capacity,))
         g = jnp.where(jnp.arange(capacity) < state.size, g, -jnp.inf)
@@ -164,12 +200,18 @@ def sample_indices(state: ReplayState, key: jax.Array, batch_size: int,
 
 def gather(state: ReplayState, idx: jax.Array) -> Tuple[jax.Array, ...]:
     """Fetch a batch: (node, edge, adj, action, reward, next_node,
-    next_edge) in model-facing [B, N, ...] shapes."""
+    next_edge) in model-facing [B, N, ...] shapes — ONE row gather plus
+    static column slices."""
     n, dn, de = state.dims
     b = idx.shape[0]
-    return (state.node[idx].reshape(b, n, dn),
-            state.edge[idx].reshape(b, n, de),
-            state.adj[idx].reshape(b, n, n),
-            state.action[idx], state.reward[idx],
-            state.next_node[idx].reshape(b, n, dn),
-            state.next_edge[idx].reshape(b, n, de))
+    rows = state.data[idx]                                   # [B, row]
+    spans = [n * dn, n * de, n * n, n, 1, n * dn, n * de]
+    offs = [0]
+    for s in spans:
+        offs.append(offs[-1] + s)
+    node, edge, adj, action, reward, next_node, next_edge = (
+        rows[:, o:o + s] for o, s in zip(offs, spans))
+    return (node.reshape(b, n, dn), edge.reshape(b, n, de),
+            adj.reshape(b, n, n),
+            jnp.round(action).astype(jnp.int32), reward[:, 0],
+            next_node.reshape(b, n, dn), next_edge.reshape(b, n, de))

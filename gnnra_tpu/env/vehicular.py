@@ -461,15 +461,24 @@ def precompute_channel_trajectory(state: EnvState, key: jax.Array,
     n = state.positions.shape[0]
     k_mob, k_sv, k_si, k_fv, k_fi = jax.random.split(key, 5)
 
-    def mob_step(carry, k):
+    def mob_step(carry, u):
         pos, dirs = carry
-        pos, dirs = mobility.renew_positions(pos, dirs, state.velocities,
-                                             k, cfg)
+        pos, dirs = mobility.renew_positions_from_draws(
+            pos, dirs, state.velocities, u, cfg)
         return (pos, dirs), (pos, dirs)
 
+    # The mobility chain is the one genuinely sequential piece; at parity
+    # scale its 50 tiny masked-op iterations are ~30% of device step time.
+    # The turn-decision uniforms for all T steps come from ONE batched
+    # draw (same hoisting as the noise tensors below; per-step in-scan
+    # threefry was ~35 us/step of pure hash chains). Unrolling the scan
+    # was A/B'd (round-4 device-time profile) and LOST: rolled 341
+    # us/step, unroll=5 379, unroll=True 375 — the unrolled forms trade
+    # the small while-loop overhead for worse fusion/scheduling.
+    u_mob = jax.random.uniform(
+        k_mob, (t_steps, n, 2, len(cfg.up_lanes)))
     _, (positions, directions) = jax.lax.scan(
-        mob_step, (state.positions, state.directions),
-        jax.random.split(k_mob, t_steps))
+        mob_step, (state.positions, state.directions), u_mob)
 
     pl_v2v = jax.vmap(lambda p: channels.v2v_pathloss(p, cfg))(positions)
     pl_v2i = jax.vmap(lambda p: channels.v2i_pathloss(p, cfg))(positions)

@@ -127,7 +127,7 @@ class Agent:
         num_envs = tc.num_envs
         total_env_steps = ((schedule_episodes or num_episodes)
                            * num_train_steps * tc.transitions_per_step)
-        t_cols = tc.transitions_per_step * num_envs
+        t_cols = 1    # per-train-step reward totals (reduced on device)
 
         train_loss = np.ones((n, num_episodes, num_train_steps))
         q_mean = np.zeros((n, num_episodes, num_train_steps))

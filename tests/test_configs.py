@@ -79,8 +79,9 @@ class TestBatchedHarness:
             eval=EvalConfig(num_episodes=2, num_test_steps=4))
         agent = Agent(cfg, results_base=str(tmp_path))
         results = agent.train()
-        # rewards recorded for all envs: T*num_envs columns
-        assert results["reward_per_train_step"].shape == (2, 2, 20)
+        # rewards come back as per-train-step totals (reduced on device —
+        # the tunnel's ~3-4 MB/s makes per-transition transfer dominant)
+        assert results["reward_per_train_step"].shape == (2, 2, 1)
         assert np.isfinite(results["reward_per_episode"]).all()
         # replay accumulated T*num_envs transitions per train step
         assert int(agent.state.replay.size) == 2 * 2 * 5 * 4

@@ -403,12 +403,15 @@ class TestChannelTrajectory:
         key = jax.random.PRNGKey(9)
         traj = vehicular.precompute_channel_trajectory(state, key, cfg,
                                                        t_steps)
-        # mobility oracle: same key-split structure as the implementation
+        # mobility oracle: same one-batched-draw structure as the
+        # implementation (uniforms for all T steps from a single call)
         k_mob = jax.random.split(key, 5)[0]
+        u_mob = jax.random.uniform(
+            k_mob, (t_steps, cfg.n_veh, 2, len(cfg.up_lanes)))
         pos, dirs = state.positions, state.directions
-        for t, k in enumerate(jax.random.split(k_mob, t_steps)):
-            pos, dirs = mobility.renew_positions(pos, dirs, state.velocities,
-                                                 k, cfg)
+        for t in range(t_steps):
+            pos, dirs = mobility.renew_positions_from_draws(
+                pos, dirs, state.velocities, u_mob[t], cfg)
             np.testing.assert_allclose(np.asarray(traj.positions[t]),
                                        np.asarray(pos), rtol=1e-6)
             np.testing.assert_array_equal(np.asarray(traj.directions[t]),
