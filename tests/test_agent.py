@@ -209,16 +209,18 @@ class TestTrainEpisodes:
         agent, packed = dqn.train_episodes(
             agent, jax.random.PRNGKey(1), ENV_CFG, MODEL_CFG, cfg,
             num_episodes=2, num_train_steps=3, total_env_steps=1000)
-        assert packed.shape == (2, 3, 5 * 4 + 5)
+        assert packed.shape == (2, 3, 5 * 4 + 1)
         metrics, rewards = dqn.unpack_episode_metrics(np.asarray(packed), 4)
-        assert rewards.shape == (2, 3, 5)
+        # rewards come back as per-train-step totals (reduced on device)
+        assert rewards.shape == (2, 3, 1)
         assert metrics["q_mean"].shape == (2, 3, 4)
         # cross-check one episode against the unchunked API
         agent2 = dqn.init_agent(jax.random.PRNGKey(0), MODEL_CFG, cfg)
         keys = jax.random.split(jax.random.PRNGKey(1), 2)
         agent2, r0, m0 = dqn.train_episode(
             agent2, keys[0], ENV_CFG, MODEL_CFG, cfg, 3, 1000)
-        np.testing.assert_allclose(np.asarray(r0), rewards[0], rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(r0).sum(axis=-1),
+                                   rewards[0, :, 0], rtol=1e-5)
         np.testing.assert_allclose(np.asarray(m0["loss_per_head"]),
                                    metrics["loss_per_head"][0], rtol=1e-4,
                                    atol=1e-6)
