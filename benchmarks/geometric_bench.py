@@ -47,6 +47,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from gnnra_tpu import graph as graph_lib
+    from gnnra_tpu.experimental import paged as paged_lib
     from gnnra_tpu.ops import spmm
 
     n, f = args.nodes, args.dim
@@ -71,24 +72,24 @@ def main(argv=None):
             report(f"spmm_fwd_blocked_{name}", e, t)
 
     t0 = time.time()
-    paged_f = graph_lib.page_cells(g_bfs, r_block=args.paged_r,
+    paged_f = paged_lib.page_cells(g_bfs, r_block=args.paged_r,
                                    chunk=args.paged_chunk,
                                    page=args.paged_page)
-    paged_b = graph_lib.page_cells(g_bfs.transpose(), r_block=args.paged_r,
+    paged_b = paged_lib.page_cells(g_bfs.transpose(), r_block=args.paged_r,
                                    chunk=args.paged_chunk,
                                    page=args.paged_page)
     pad = paged_f.num_pages * paged_f.page / e - 1
     print(f"# paged layout: {paged_f.num_pages} pages of {paged_f.page}, "
           f"pad {pad:.1%}, preprocess {time.time() - t0:.1f}s", flush=True)
 
-    t_pf = bench(lambda h, p: spmm.spmm_paged(h, p), h,
+    t_pf = bench(lambda h, p: paged_lib.spmm_paged(h, p), h,
                  iters=args.iters, data=(paged_f,))
     report("spmm_fwd_paged_geo_bfs", e, t_pf)
-    t_pf16 = bench(lambda h, p: spmm.spmm_paged(h, p), h16,
+    t_pf16 = bench(lambda h, p: paged_lib.spmm_paged(h, p), h16,
                    iters=args.iters, data=(paged_f,))
     report("spmm_fwd_paged_geo_bfs_bf16", e, t_pf16)
 
-    op = spmm.make_spmm_paged(paged_f, paged_b, impl="pallas")
+    op = paged_lib.make_spmm_paged(paged_f, paged_b, impl="pallas")
     paged_fb = jax.grad(lambda h: jnp.sum(op(h) * h))
     t_pg = bench(paged_fb, h, iters=args.iters)
     report("spmm_fwdbwd_paged_geo_bfs", e, t_pg)

@@ -46,6 +46,7 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     from gnnra_tpu import graph as graph_lib
+    from gnnra_tpu.experimental import paged as paged_lib
     from gnnra_tpu.ops import spmm
 
     f = args.dim
@@ -78,9 +79,9 @@ def main(argv=None):
                   iters=args.iters, data=(wd,))
         report(f"sweep_deg{deg}_windowed_bf16", e, t)
 
-        paged = graph_lib.page_cells(gb, r_block=128, chunk=128, page=256)
+        paged = paged_lib.page_cells(gb, r_block=128, chunk=128, page=256)
         pad = paged.num_pages * paged.page / e - 1
-        t = bench(lambda h, p: spmm.spmm_paged(h, p), h16,
+        t = bench(lambda h, p: paged_lib.spmm_paged(h, p), h16,
                   iters=args.iters, data=(paged,))
         report(f"sweep_deg{deg}_paged_bf16", e, t)
         print(f"#   paged pad {pad:.1%}, {paged.num_pages} pages",

@@ -160,11 +160,20 @@ def add_batch(state: ReplayState, node, edge, adj, action, reward,
     if capacity % t == 0:
         # Burst size divides capacity (both static), so a ring fed only by
         # size-t bursts keeps its cursor t-aligned and a burst NEVER wraps:
-        # emit the DUS with no conditional. If the cursor was desynced by
-        # interleaved `add` calls, dynamic_update_slice's index clamp keeps
-        # the write in bounds (rows land at capacity-t instead of
-        # wrapping) — stay on the cond'd path by choosing a non-divisible
-        # capacity if mixing per-row and burst appends.
+        # emit the DUS with no conditional (the cond itself measured
+        # ~0.4 ms/step). The alignment is a real invariant, not an
+        # assumption: if the cursor is ever desynced (e.g. an interleaved
+        # single-row `add`), dynamic_update_slice's index clamp would
+        # silently park the burst at capacity-t while the cursor advances
+        # (c+t)%capacity — corrupted FIFO order with no signal. Guard it
+        # by NaN-poisoning the written rows when c % t != 0: one scalar
+        # compare + select (free next to the DUS DMA), and the corruption
+        # becomes loud at the first gather/training step instead of
+        # silently skewing sampling. Mixing per-row and burst appends on
+        # a divisible capacity is unsupported; use a non-divisible
+        # capacity to get the cond'd wrap-correct path.
+        aligned = (c % t) == 0
+        rows = jnp.where(aligned, rows, jnp.float32(jnp.nan))
         data = contiguous(state.data)
     else:
         data = jax.lax.cond(c + t <= capacity, contiguous, wrapped,

@@ -179,6 +179,16 @@ def compute_reward_with_channel_selection(
     Vectorizes `compute_reward_with_channel_selection` (reference
     Environment.py:406-458). actions: [N, M] int RB choice per link.
 
+    Precondition: actions must lie in [0, R) — OR be masked out by
+    `state.activate_links` wherever they don't. The combined
+    (dest, action) one-hot over the flattened dest*R+action axis below
+    aliases out-of-range actions into valid table entries (e.g. the
+    reference's -1 inactive-link sentinel with dest>=1 would select
+    ff[dest-1, R-1]); every use of the resulting `gain` is multiplied by
+    `active`, so masked links are safe, but unmasked out-of-range actions
+    are NOT independently tolerated the way a per-axis one_hot(actions, R)
+    would zero them. All in-repo callers pass valid [0, R) actions.
+
     Returns:
       v2v_rate [N, M], v2i_rate [min(R,N)], v2i_interference_at_bs [R]
       (the last one *without* the noise floor, as the reference returns it).

@@ -482,7 +482,7 @@ def geometric_interference_graph(seed: int, num_nodes: int,
     node graphs preprocess in seconds.
 
     Unlike `random_graph`, the result has geometric locality — the topology
-    where `reorder_nodes('bfs')` + the paged-cell SpMM layout pay off.
+    where `reorder_nodes('bfs')` + the windowed-dense SpMM layout pay off.
 
     Returns (positions [N,2] float32, COOGraph) — both directions of every
     undirected pair are emitted as directed edges.
@@ -549,148 +549,6 @@ def geometric_interference_graph(seed: int, num_nodes: int,
                      weights=jnp.ones((senders.shape[0],), jnp.float32),
                      num_nodes=n)
     return pos, graph
-
-
-@jax.tree_util.register_dataclass
-@dataclasses.dataclass(frozen=True)
-class PagedCellGraph:
-    """Paged (receiver-block x sender-chunk) cell layout for the fused
-    gather+reduce SpMM kernel (`ops.spmm.spmm_paged`).
-
-    EXPERIMENTAL (round-4 degree sweep, docs/RESULTS.md): loses to the
-    blocked kernel at every measured density (degrees 10-128 at ~1M
-    edges) and the windowed-dense layout dominates the high-degree
-    regime this kernel was kept for. Retained as the reference
-    implementation of in-kernel one-hot gathering only.
-
-    Edges are bucketed into cells (receiver block b of R_BLOCK rows, sender
-    chunk c of CHUNK rows) and each cell's slots are split into fixed-size
-    PAGES (PAGE edge slots). One kernel grid step processes one page: the
-    sender chunk is DMA'd into VMEM (BlockSpec-indexed by the prefetched
-    `chunk_ids`), message rows are gathered from it with a one-hot MXU
-    matmul (so the [E, F] message tensor NEVER exists in HBM — the round
-    trip that dominates the unfused kernel's traffic, docs/RESULTS.md), and
-    the weighted one-hot reduction accumulates into the output block, which
-    stays VMEM-resident across the block's consecutive pages.
-
-    Unlike the uniform per-cell padding of `TwoLevelBlockedGraph` (which
-    pays the MAX cell occupancy in every cell — 2-8x waste on geometric
-    graphs whose near-diagonal cells are dense), paging wastes at most
-    PAGE-1 slots per cell: ~30-50% on BFS-ordered vehicular topologies.
-
-    Layout contract: pages are sorted by (block, chunk); every receiver
-    block owns at least one page (empty filler pages have weight 0), so
-    every output block is visited and zero-initialized.
-    """
-
-    senders: jax.Array     # [P, PAGE] int32 CHUNK-LOCAL sender ids (pad 0)
-    recv_local: jax.Array  # [P, PAGE] int32 block-local receiver (pad 0)
-    weights: jax.Array     # [P, PAGE] f32 edge weights (pad 0)
-    block_ids: jax.Array   # [P] int32 receiver-block index per page
-    chunk_ids: jax.Array   # [P] int32 sender-chunk index per page
-    first_flags: jax.Array  # [P] int32 1 iff first page of its block
-    num_nodes: int = dataclasses.field(metadata=dict(static=True))
-    num_nodes_padded: int = dataclasses.field(metadata=dict(static=True))
-    num_chunks_padded: int = dataclasses.field(metadata=dict(static=True))
-    r_block: int = dataclasses.field(metadata=dict(static=True))
-    chunk: int = dataclasses.field(metadata=dict(static=True))
-    num_edges: int = dataclasses.field(metadata=dict(static=True))
-
-    @property
-    def num_pages(self) -> int:
-        return int(self.senders.shape[0])
-
-    @property
-    def page(self) -> int:
-        return int(self.senders.shape[1])
-
-
-def page_cells(graph: COOGraph, r_block: int = 128, chunk: int = 128,
-               page: int = 256) -> PagedCellGraph:
-    """Host-side O(E) preprocessing into the paged-cell layout.
-
-    Best used after `reorder_nodes(graph, 'bfs')` on geometric topologies:
-    narrow sender windows per receiver block mean few distinct chunks per
-    block, so consecutive pages share their chunk and the chunk DMA
-    amortizes (the kernel's HBM traffic is ~one chunk load per non-empty
-    cell + the edge arrays; see PagedCellGraph docstring).
-    """
-    senders = np.asarray(graph.senders)
-    receivers = np.asarray(graph.receivers)
-    weights = np.asarray(graph.weights)
-    n = graph.num_nodes
-    e = senders.shape[0]
-    num_blocks = max(1, -(-n // r_block))
-    num_chunks = max(1, -(-n // chunk))
-
-    block_of = receivers // r_block
-    chunk_of = senders // chunk
-    cell = block_of.astype(np.int64) * num_chunks + chunk_of
-    order = np.argsort(cell, kind="stable")
-    cell_sorted = cell[order]
-
-    # unique cells in sorted order + their edge counts
-    uniq_cells, cell_start = np.unique(cell_sorted, return_index=True)
-    cell_count = np.diff(np.concatenate([cell_start, [e]]))
-    pages_per_cell = -(-cell_count // page)
-
-    # guarantee >= 1 page per receiver block (filler page, weight 0)
-    blocks_seen = np.unique(uniq_cells // num_chunks)
-    missing_blocks = np.setdiff1d(np.arange(num_blocks), blocks_seen)
-
-    total_pages = int(pages_per_cell.sum()) + missing_blocks.shape[0]
-    s_out = np.zeros((total_pages, page), np.int32)
-    r_out = np.zeros((total_pages, page), np.int32)
-    w_out = np.zeros((total_pages, page), np.float32)
-    pg_block = np.zeros(total_pages, np.int32)
-    pg_chunk = np.zeros(total_pages, np.int32)
-
-    # merge real cells and filler pages in block order
-    page_pos = 0
-    ci = 0
-    mi = 0
-    n_cells = uniq_cells.shape[0]
-    while ci < n_cells or mi < missing_blocks.shape[0]:
-        next_real_block = (int(uniq_cells[ci] // num_chunks)
-                          if ci < n_cells else np.iinfo(np.int64).max)
-        next_missing = (int(missing_blocks[mi])
-                        if mi < missing_blocks.shape[0]
-                        else np.iinfo(np.int64).max)
-        if next_missing < next_real_block:
-            pg_block[page_pos] = next_missing
-            pg_chunk[page_pos] = 0
-            page_pos += 1
-            mi += 1
-            continue
-        b = next_real_block
-        c = int(uniq_cells[ci] % num_chunks)
-        start = int(cell_start[ci])
-        count = int(cell_count[ci])
-        for p0 in range(0, count, page):
-            take = min(page, count - p0)
-            rows = order[start + p0:start + p0 + take]
-            s_out[page_pos, :take] = senders[rows] - c * chunk
-            r_out[page_pos, :take] = receivers[rows] - b * r_block
-            w_out[page_pos, :take] = weights[rows]
-            pg_block[page_pos] = b
-            pg_chunk[page_pos] = c
-            page_pos += 1
-        ci += 1
-    assert page_pos == total_pages
-
-    first = np.zeros(total_pages, np.int32)
-    first[0] = 1
-    first[1:] = (pg_block[1:] != pg_block[:-1]).astype(np.int32)
-    # paranoia: pages of a block must be contiguous (accumulation contract)
-    assert first.sum() == np.unique(pg_block).shape[0]
-
-    return PagedCellGraph(
-        senders=jnp.asarray(s_out), recv_local=jnp.asarray(r_out),
-        weights=jnp.asarray(w_out), block_ids=jnp.asarray(pg_block),
-        chunk_ids=jnp.asarray(pg_chunk), first_flags=jnp.asarray(first),
-        num_nodes=n, num_nodes_padded=num_blocks * r_block,
-        num_chunks_padded=num_chunks * chunk, r_block=r_block, chunk=chunk,
-        num_edges=e)
 
 
 @jax.tree_util.register_dataclass
@@ -848,7 +706,7 @@ class BucketedWindowedGraph:
     w_start) order — a first bucket-major design lost ~25% of sustained
     bandwidth to the out-of-order window DMAs it caused. The per-step
     bucket is the prefetched `bucket_of` vector (dynamic pl.when branch,
-    like the paged kernel's first_flags); per-bucket A arrays are
+    like the experimental paged kernel's first_flags); per-bucket A arrays are
     auto-pipelined through BlockSpecs whose index maps read the prefetched
     `a_idx` running counters (held CONSTANT while foreign buckets run, so
     Pallas's changed-index check skips those fetches). Outputs land at

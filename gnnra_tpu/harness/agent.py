@@ -219,7 +219,12 @@ class Agent:
 
         return {
             "train_loss": train_loss,
-            "reward_per_train_step": reward_per_step,
+            # Renamed from "reward_per_train_step" (pre-round-5 artifacts):
+            # rewards are reduced ON DEVICE to per-train-step TOTALS
+            # [C, S, 1], no longer per-transition [C, S, T*num_envs] — the
+            # new key marks the semantic/shape change so old and new npz
+            # artifacts cannot be confused.
+            "reward_total_per_train_step": reward_per_step,
             "reward_per_episode": reward_per_episode,
             "train_q_mean": q_mean,
             "train_q_max_mean": q_max_mean,

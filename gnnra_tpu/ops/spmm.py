@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from gnnra_tpu.graph import (BlockedGraph, COOGraph, PagedCellGraph,
+from gnnra_tpu.graph import (BlockedGraph, COOGraph,
                              TwoLevelBlockedGraph)
 
 Impl = Literal["jnp", "pallas", "pallas_interpret"]
@@ -269,168 +269,6 @@ def make_weighted_spmm(fwd_blocked: BlockedGraph, bwd_blocked: BlockedGraph,
 
     f.defvjp(fwd, bwd)
     return f
-
-
-# ---------------------------------------------------------------------------
-# Paged-cell fused gather+reduce SpMM (geometric / BFS-ordered topologies)
-# ---------------------------------------------------------------------------
-
-def _paged_kernel(chunk_ids_ref, block_ids_ref, first_ref,
-                  senders_ref, recv_ref, w_ref, h_ref, out_ref):
-    """One grid step = one edge page.
-
-    The sender chunk for this page is already in VMEM (h_ref, BlockSpec-
-    indexed by the prefetched chunk id); message rows are gathered from it
-    with a one-hot MXU matmul, weighted on the VPU, and reduced into the
-    VMEM-resident output block with a second one-hot matmul. The [E, F]
-    message tensor never exists in HBM — the round trip that is ~2/3 of the
-    unfused kernel's traffic (docs/RESULTS.md).
-
-    h_ref: [CHUNK, F]; senders/recv/w: [1, PAGE]; out_ref: [R_BLOCK, F] f32.
-    """
-    p = pl.program_id(0)
-    del chunk_ids_ref, block_ids_ref                  # consumed by index maps
-    s_local = senders_ref[0, 0, :]                    # [PG]
-    r_local = recv_ref[0, 0, :]                       # [PG]
-    w = w_ref[0, 0, :]                                # [PG]
-    h = h_ref[:]                                      # [S, F]
-    pg = s_local.shape[0]
-    s = h.shape[0]
-    r = out_ref.shape[0]
-    # Mosaic supports DEFAULT (bf16 multiply) and HIGHEST (fp32 contract)
-    # only; f32 inputs must use HIGHEST to keep f32 accuracy through the
-    # one-hot matmuls. This kernel is MXU-bound, so the fast path is bf16
-    # (the scaled configs' dtype) — f32 pays the multi-pass fp32 rate.
-    precision = (jax.lax.Precision.HIGHEST
-                 if h.dtype == jnp.float32 else None)
-
-    s_ids = jax.lax.broadcasted_iota(jnp.int32, (pg, s), 1)
-    onehot_s = (s_local[:, None] == s_ids).astype(h.dtype)
-    msgs = jax.lax.dot_general(
-        onehot_s, h, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision)  # [PG, F]
-    msgs = msgs * w[:, None]
-    msgs = msgs.astype(h.dtype)
-
-    r_ids = jax.lax.broadcasted_iota(jnp.int32, (pg, r), 1)
-    onehot_r = (r_local[:, None] == r_ids).astype(h.dtype)
-    part = jax.lax.dot_general(
-        onehot_r, msgs, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision)  # [R, F]
-
-    first = first_ref[p]
-
-    @pl.when(first == 1)
-    def _():
-        out_ref[:] = part
-
-    @pl.when(first == 0)
-    def _():
-        out_ref[:] = out_ref[:] + part
-
-
-def _spmm_paged_pallas(h: jax.Array, paged: PagedCellGraph,
-                       interpret: bool = False) -> jax.Array:
-    from jax.experimental import pallas as pl  # noqa: F811 (local import)
-    from jax.experimental.pallas import tpu as pltpu
-
-    f = h.shape[-1]
-    s = paged.chunk
-    r = paged.r_block
-    pg = paged.page
-    n_pages = paged.num_pages
-    h_pad = jnp.zeros((paged.num_chunks_padded, f), h.dtype
-                      ).at[:h.shape[0]].set(h)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(n_pages,),
-        in_specs=[
-            # per-page vectors carry a dummy sublane axis so the block shape
-            # meets the TPU (sublane, lane) tiling rules
-            pl.BlockSpec((1, 1, pg), lambda p, ci, bi, ff: (p, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, pg), lambda p, ci, bi, ff: (p, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, pg), lambda p, ci, bi, ff: (p, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, f), lambda p, ci, bi, ff: (ci[p], 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((r, f), lambda p, ci, bi, ff: (bi[p], 0),
-                               memory_space=pltpu.VMEM),
-    )
-    flops_per_page = 2 * pg * (s + r) * f
-    out = pl.pallas_call(
-        _paged_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((paged.num_nodes_padded, f),
-                                       jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=flops_per_page * n_pages,
-            bytes_accessed=(n_pages * (s * f * h.dtype.itemsize + pg * 12)
-                            + paged.num_nodes_padded * f * 4),
-            transcendentals=0),
-        interpret=interpret,
-    )(paged.chunk_ids, paged.block_ids, paged.first_flags,
-      paged.senders[:, None, :], paged.recv_local[:, None, :],
-      paged.weights[:, None, :], h_pad)
-    return out[:paged.num_nodes].astype(h.dtype)
-
-
-def _spmm_paged_jnp(h: jax.Array, paged: PagedCellGraph) -> jax.Array:
-    """Vectorized jnp oracle/fallback for the paged kernel (same math)."""
-    f = h.shape[-1]
-    s = paged.chunk
-    r = paged.r_block
-    h_pad = jnp.zeros((paged.num_chunks_padded, f), h.dtype
-                      ).at[:h.shape[0]].set(h)
-    chunks = h_pad.reshape(-1, s, f)
-    hsel = chunks[paged.chunk_ids]                       # [P, S, F]
-    msgs = jnp.take_along_axis(
-        hsel, paged.senders[:, :, None], axis=1)          # [P, PG, F]
-    msgs = msgs.astype(jnp.float32) * paged.weights[:, :, None]
-    num_blocks = paged.num_nodes_padded // r
-    out = jnp.zeros((num_blocks, r, f), jnp.float32)
-    out = out.at[paged.block_ids[:, None, None],
-                 paged.recv_local[:, :, None],
-                 jnp.arange(f)[None, None, :]].add(msgs)
-    return out.reshape(-1, f)[:paged.num_nodes].astype(h.dtype)
-
-
-def spmm_paged(h: jax.Array, paged: PagedCellGraph,
-               impl: Impl = "pallas") -> jax.Array:
-    """Fused-gather SpMM over a `graph.PagedCellGraph`.
-
-    For geometric/BFS-ordered topologies (narrow sender windows per
-    receiver block) this eliminates the [E, F] HBM message round trip of
-    `spmm_blocked` entirely: the gather happens on the MXU from a VMEM-
-    resident sender chunk. Semantics identical to `spmm_coo` on the same
-    edges (reference aggregation semantics: BS_brain.py:69-76).
-    """
-    if impl == "jnp":
-        return _spmm_paged_jnp(h, paged)
-    return _spmm_paged_pallas(h, paged, interpret=(impl == "pallas_interpret"))
-
-
-def make_spmm_paged(fwd_paged: PagedCellGraph, bwd_paged: PagedCellGraph,
-                    impl: Impl = "pallas"):
-    """Differentiable paged SpMM closed over (forward, transposed) layouts;
-    the backward is the same fused kernel on the transposed graph
-    (dL/dh[s] = sum_{e: send_e = s} w_e g[recv_e])."""
-
-    @jax.custom_vjp
-    def spmm(h):
-        return spmm_paged(h, fwd_paged, impl)
-
-    def fwd(h):
-        return spmm(h), None
-
-    def bwd(_, g):
-        return (spmm_paged(g, bwd_paged, impl),)
-
-    spmm.defvjp(fwd, bwd)
-    return spmm
 
 
 # ---------------------------------------------------------------------------

@@ -28,6 +28,7 @@ def check(name, got, want, rtol, atol):
 
 def main():
     from gnnra_tpu import graph as G
+    from gnnra_tpu.experimental import paged as paged_lib
     from gnnra_tpu.ops import spmm
 
     n, deg, f = 20_000, 8.0, 64
@@ -47,10 +48,10 @@ def main():
     got = jax.jit(lambda h, b: spmm.spmm_blocked(h, b))(h, tl)
     check("two-level f32", got, want, 1e-5, 1e-4)
 
-    paged = G.page_cells(gb, r_block=128, chunk=128, page=256)
-    got = jax.jit(lambda h, p: spmm.spmm_paged(h, p))(h, paged)
+    paged = paged_lib.page_cells(gb, r_block=128, chunk=128, page=256)
+    got = jax.jit(lambda h, p: paged_lib.spmm_paged(h, p))(h, paged)
     check("paged f32 (HIGHEST)", got, want, 1e-4, 1e-3)
-    got = jax.jit(lambda h, p: spmm.spmm_paged(h, p))(h16, paged)
+    got = jax.jit(lambda h, p: paged_lib.spmm_paged(h, p))(h16, paged)
     check("paged bf16", got, want, 5e-2, 8e-2)
 
     for dtype, tag, tol in ((jnp.float32, "f32", (1e-4, 1e-3)),

@@ -46,6 +46,40 @@ class TestReplay:
         for la, lb in zip(jax.tree.leaves(rep_a), jax.tree.leaves(rep_b)):
             np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
+    def test_add_batch_wrapping_matches_sequential(self):
+        # Non-divisible capacity (13 % 5 != 0) exercises the cond'd path's
+        # `wrapped` branch: cursor at 10, a 5-burst wraps rows 10,11,12,0,1.
+        rep_a = replay_lib.init(MODEL_CFG, capacity=13)
+        rep_b = replay_lib.init(MODEL_CFG, capacity=13)
+        warm = [_fake_transition(i) for i in range(10)]
+        for t in warm:
+            rep_a = replay_lib.add(rep_a, *t)
+            rep_b = replay_lib.add(rep_b, *t)
+        burst = [_fake_transition(i) for i in range(10, 15)]
+        for t in burst:
+            rep_a = replay_lib.add(rep_a, *t)
+        stacked = [jnp.stack(x) for x in zip(*burst)]
+        rep_b = replay_lib.add_batch(rep_b, *stacked)
+        assert int(rep_b.cursor) == 2 and int(rep_b.size) == 13
+        for la, lb in zip(jax.tree.leaves(rep_a), jax.tree.leaves(rep_b)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+    def test_add_batch_cursor_desync_fails_loudly(self):
+        # Divisible capacity (15 % 5 == 0) emits the cond-free DUS path,
+        # which is only correct for burst-aligned cursors. An interleaved
+        # single-row `add` desyncs the cursor; the guard must make that
+        # loud (NaN-poisoned rows) rather than silently corrupt FIFO order.
+        rep = replay_lib.init(MODEL_CFG, capacity=15)
+        rep = replay_lib.add(rep, *_fake_transition(0))     # cursor -> 1
+        burst = [_fake_transition(i) for i in range(1, 6)]
+        stacked = [jnp.stack(x) for x in zip(*burst)]
+        rep = replay_lib.add_batch(rep, *stacked)
+        assert np.isnan(np.asarray(rep.data[1:6])).all()
+        # aligned bursts stay NaN-free
+        rep2 = replay_lib.init(MODEL_CFG, capacity=15)
+        rep2 = replay_lib.add_batch(rep2, *stacked)
+        assert not np.isnan(np.asarray(rep2.data)).any()
+
     def test_sample_fast_in_range(self):
         rep = replay_lib.init(MODEL_CFG, capacity=64)
         for i in range(10):

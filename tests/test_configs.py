@@ -81,7 +81,7 @@ class TestBatchedHarness:
         results = agent.train()
         # rewards come back as per-train-step totals (reduced on device —
         # the tunnel's ~3-4 MB/s makes per-transition transfer dominant)
-        assert results["reward_per_train_step"].shape == (2, 2, 1)
+        assert results["reward_total_per_train_step"].shape == (2, 2, 1)
         assert np.isfinite(results["reward_per_episode"]).all()
         # replay accumulated T*num_envs transitions per train step
         assert int(agent.state.replay.size) == 2 * 2 * 5 * 4

@@ -8,6 +8,7 @@ import pytest
 
 from gnnra_tpu import graph as graph_lib
 from gnnra_tpu.ops import spmm
+from gnnra_tpu.experimental import paged as paged_lib
 
 
 def make_graph(seed=0, n=200, e=1000, weighted=True):
@@ -380,12 +381,12 @@ class TestPagedSpmm:
     @pytest.mark.parametrize("weighted", [False, True])
     def test_matches_oracle(self, weighted):
         g = geo_bfs_graph(weighted=weighted)
-        paged = graph_lib.page_cells(g, r_block=128, chunk=128, page=256)
+        paged = paged_lib.page_cells(g, r_block=128, chunk=128, page=256)
         h = jax.random.normal(jax.random.PRNGKey(2), (g.num_nodes, 64))
         want = np.asarray(spmm.spmm_coo(h, g))
-        got = np.asarray(spmm.spmm_paged(h, paged, impl="jnp"))
+        got = np.asarray(paged_lib.spmm_paged(h, paged, impl="jnp"))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
-        got_k = np.asarray(spmm.spmm_paged(h, paged,
+        got_k = np.asarray(paged_lib.spmm_paged(h, paged,
                                            impl="pallas_interpret"))
         np.testing.assert_allclose(got_k, want, rtol=1e-4, atol=1e-4)
 
@@ -395,17 +396,17 @@ class TestPagedSpmm:
             senders=jnp.asarray([0, 1], jnp.int32),
             receivers=jnp.asarray([1, 0], jnp.int32),
             weights=jnp.ones((2,)), num_nodes=300)
-        paged = graph_lib.page_cells(g, r_block=128, chunk=128, page=8)
+        paged = paged_lib.page_cells(g, r_block=128, chunk=128, page=8)
         h = jnp.ones((300, 8))
-        out = np.asarray(spmm.spmm_paged(h, paged, impl="jnp"))
+        out = np.asarray(paged_lib.spmm_paged(h, paged, impl="jnp"))
         assert out.shape == (300, 8)
         np.testing.assert_allclose(out[128:], 0.0)
 
     def test_grad_matches_segment_sum(self):
         g = geo_bfs_graph(weighted=True)
-        fwd = graph_lib.page_cells(g, 128, 128, 256)
-        bwd = graph_lib.page_cells(g.transpose(), 128, 128, 256)
-        op = spmm.make_spmm_paged(fwd, bwd, impl="jnp")
+        fwd = paged_lib.page_cells(g, 128, 128, 256)
+        bwd = paged_lib.page_cells(g.transpose(), 128, 128, 256)
+        op = paged_lib.make_spmm_paged(fwd, bwd, impl="jnp")
         h = jax.random.normal(jax.random.PRNGKey(3), (g.num_nodes, 32))
         gout = jax.random.normal(jax.random.PRNGKey(4), (g.num_nodes, 32))
         dh = jax.vjp(op, h)[1](gout)[0]
