@@ -70,7 +70,7 @@ def main():
         jax.random.split(jax.random.PRNGKey(3), 1))
     agent2, env_states = spmd.shard_train_state(agent2, env_states, mesh)
     spmd_step = spmd.make_spmd_train_step(env_cfg, model_cfg, train_cfg,
-                                          total)
+                                          total, mesh=mesh)
     for i in range(10):
         agent2, env_states, _, m2 = spmd_step(agent2, env_states,
                                               jax.random.fold_in(key, i))

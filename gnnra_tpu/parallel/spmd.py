@@ -171,22 +171,53 @@ def shard_train_state_ep(agent: dqn.AgentState,
 
 
 def make_spmd_train_step(env_cfg: EnvConfig, model_cfg: ModelConfig,
-                         train_cfg: TrainConfig, total_env_steps: int):
+                         train_cfg: TrainConfig, total_env_steps: int,
+                         mesh: Mesh | None = None,
+                         data_axis: str = "data"):
     """Jitted (agent, env_states [E, ...], key) -> (agent', env_states',
-    rewards, metrics); partitioning follows the input shardings."""
+    rewards, metrics); partitioning follows the input shardings.
+
+    When `mesh` is given, the replay ring is PINNED to `P(data_axis)` (rows
+    sharded over the data axis) at the step boundaries with
+    with_sharding_constraint. Without the pin, SPMD sharding propagation
+    walks backward from the TP/EP-sharded model consumers and decides the
+    ring's gather input should be COLUMN-sharded over the model/expert
+    axis, then reconciles with the row-sharded parameter via "involuntary
+    full rematerialization" — replicate-then-repartition of the whole
+    buffer every step (harmless at dryrun shapes; catastrophic at the real
+    1M x 125 = 500 MB ring). The pin keeps the ring row-sharded end to
+    end: the burst DUS append and the [B]-row sampling gather both run on
+    the row-sharded layout, and only the gathered [B, row] batch (tiny)
+    reshards toward the model's layout. tests/test_parallel.py asserts the
+    compile emits no rematerialization warning on an 8-device mesh."""
 
     roll_b = (dqn.rollout_batched_parallel if train_cfg.parallel_rollout
               else dqn.rollout_batched)
+
+    if mesh is not None:
+        def pin_replay(agent: dqn.AgentState) -> dqn.AgentState:
+            rep = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(
+                        mesh, P(data_axis) if x.ndim >= 1 else P())),
+                agent.replay)
+            return agent.replace(replay=rep)
+    else:
+        def pin_replay(agent: dqn.AgentState) -> dqn.AgentState:
+            return agent
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(agent: dqn.AgentState, env_states: vehicular.EnvState,
              key: jax.Array):
         k_roll, k_replay = jax.random.split(key)
+        agent = pin_replay(agent)
         agent, env_states, rewards = roll_b(
             agent, env_states, k_roll, env_cfg, model_cfg, train_cfg,
             total_env_steps)
+        agent = pin_replay(agent)
         agent, metrics = dqn.replay_update(agent, k_replay, model_cfg,
                                            train_cfg)
+        agent = pin_replay(agent)
         agent = dqn.maybe_sync_target(agent, train_cfg)
         return agent, env_states, rewards, metrics
 

@@ -115,7 +115,8 @@ class TestGSPMD:
         agent, env_states = spmd.shard_train_state(agent, env_states, m)
         # params TP-sharded on trailing axis
         assert "model" in str(agent.params["gnn"][0]["w1"].sharding.spec)
-        step = spmd.make_spmd_train_step(ENV_CFG, MODEL_CFG, cfg, 1000)
+        step = spmd.make_spmd_train_step(ENV_CFG, MODEL_CFG, cfg, 1000,
+                                         mesh=m)
         agent, env_states, rewards, metrics = step(agent, env_states,
                                                    jax.random.PRNGKey(2))
         assert rewards.shape == (3, 4)
@@ -124,3 +125,53 @@ class TestGSPMD:
         agent, env_states, rewards, metrics = step(agent, env_states,
                                                    jax.random.PRNGKey(3))
         assert np.isfinite(float(metrics["loss"]))
+
+    def test_spmd_replay_stays_row_sharded(self, capfd):
+        """Round-4 verdict: without a pin, SPMD propagation reshards the
+        replay ring toward the TP-sharded model consumers and reconciles
+        via 'involuntary full rematerialization' (replicate + repartition
+        of the whole buffer EVERY step — catastrophic at the real 500 MB
+        ring). The mesh-pinned step must compile warning-free, keeping the
+        ring row-sharded (P('data')) end to end."""
+        from gnnra_tpu.parallel import spmd
+        m = mesh_lib.make_mesh((4, 2), ("data", "model"))
+        # distinct capacity vs the test above -> fresh compile (the warning
+        # is emitted by the SPMD partitioner during compilation only)
+        cfg = TrainConfig(memory_capacity=512, batch_size=16,
+                          transitions_per_step=3,
+                          target_update_every_env_steps=6)
+        agent = dqn.init_agent(jax.random.PRNGKey(0), MODEL_CFG, cfg)
+        env_states = jax.vmap(
+            lambda k: vehicular.new_random_game(k, ENV_CFG))(
+            jax.random.split(jax.random.PRNGKey(1), 4))
+        agent, env_states = spmd.shard_train_state(agent, env_states, m)
+        step = spmd.make_spmd_train_step(ENV_CFG, MODEL_CFG, cfg, 1000,
+                                         mesh=m)
+        capfd.readouterr()  # drain anything from setup
+        compiled = step.lower(agent, env_states,
+                              jax.random.PRNGKey(2)).compile()
+        err = capfd.readouterr().err
+        assert "Involuntary full rematerialization" not in err, err
+        # the executable's replay input keeps its row sharding
+        in_sh = jax.tree.leaves(compiled.input_shardings[0])
+        assert any("data" in str(getattr(s, "spec", "")) for s in in_sh)
+
+    def test_spmd_ep_replay_no_remat_warning(self, capfd):
+        """Same assertion for the expert-parallel sharding (the round-4
+        MULTICHIP tail warned on both DPxTP and EP paths)."""
+        from gnnra_tpu.parallel import spmd
+        m = mesh_lib.make_mesh((4, 2), ("data", "expert"))
+        cfg = TrainConfig(memory_capacity=384, batch_size=16,
+                          transitions_per_step=3,
+                          target_update_every_env_steps=6)
+        agent = dqn.init_agent(jax.random.PRNGKey(3), MODEL_CFG, cfg)
+        env_states = jax.vmap(
+            lambda k: vehicular.new_random_game(k, ENV_CFG))(
+            jax.random.split(jax.random.PRNGKey(4), 4))
+        agent, env_states = spmd.shard_train_state_ep(agent, env_states, m)
+        step = spmd.make_spmd_train_step(ENV_CFG, MODEL_CFG, cfg, 1000,
+                                         mesh=m)
+        capfd.readouterr()
+        step.lower(agent, env_states, jax.random.PRNGKey(5)).compile()
+        err = capfd.readouterr().err
+        assert "Involuntary full rematerialization" not in err, err
