@@ -282,6 +282,22 @@ class RingWindowedPartition:
       w_start[s]:     [D, B_s] int32 chunk-LOCAL window starts (8-aligned)
       block_rows[s]:  [D, B_s] int32 receiver-block index inside the
                       device's chunk (padding blocks -> 0 with zero A)
+
+    Boundary-band metadata (round 5 — the halo the banded exchange moves
+    instead of circulating full [per, F] chunks; see
+    `make_banded_spmm_gspmd`). At step s > 0 the blocks of device d read
+    only a narrow 8-aligned band of chunk (d+s) mod D:
+      band_width[s]:  int, uniform band rows at step s (0 when the step
+                      has no edges at all — the step is then SKIPPED by
+                      the banded builders: no comm, no compute)
+      band_start[s]:  [D] int32, start row (inside the SOURCE chunk) of
+                      the band device d RECEIVES
+      band_sent_start[s]: [D] int32 = band_start[(d - s) mod D]: start of
+                      the band device d SLICES OUT of its own chunk to
+                      send (pre-permuted so the slice is a batch-sharded
+                      local gather)
+      w_start_band[s]: [D, B_s] int32 BAND-local window starts
+      step_edges[s]:  int, edge count assigned to step s
     """
 
     a_dense: tuple
@@ -291,6 +307,11 @@ class RingWindowedPartition:
     nodes_per_device: int
     r_block: int
     num_nodes: int
+    band_width: tuple = ()
+    band_start: tuple = ()
+    band_sent_start: tuple = ()
+    w_start_band: tuple = ()
+    step_edges: tuple = ()
 
     @property
     def window(self):
@@ -299,6 +320,19 @@ class RingWindowedPartition:
     @property
     def num_step_blocks(self):
         return tuple(int(ws.shape[-1]) for ws in self.w_start)
+
+    def comm_bytes_per_device(self, feature_dim: int, itemsize: int
+                              ) -> dict:
+        """Per-device comm bytes for one aggregation: the full-chunk ring
+        (D-1 hops of the whole [per, F] chunk) vs the banded exchange
+        (one [band_width_s, F] slice per nonempty step s > 0)."""
+        full = (self.num_devices - 1) * self.nodes_per_device \
+            * feature_dim * itemsize
+        banded = sum(bw * feature_dim * itemsize
+                     for s, bw in enumerate(self.band_width)
+                     if s > 0 and self.step_edges[s] > 0)
+        return {"full_chunk_ring": full, "banded": banded,
+                "ratio": (full / banded) if banded else float("inf")}
 
 
 def partition_for_ring_windowed(graph: graph_lib.COOGraph,
@@ -335,6 +369,7 @@ def partition_for_ring_windowed(graph: graph_lib.COOGraph,
     b_of = r_local // r_block
 
     a_steps, ws_steps, br_steps = [], [], []
+    bw_steps, bs_steps, bss_steps, wsb_steps, ecnt_steps = [], [], [], [], []
     for s in range(d_count):
         m = step_of == s
         es, er_b, er_r = s_local_chunk[m], b_of[m], r_local[m] % r_block
@@ -386,10 +421,47 @@ def partition_for_ring_windowed(graph: graph_lib.COOGraph,
         ws_steps.append(jnp.asarray(w_start, jnp.int32))
         br_steps.append(jnp.asarray(block_rows, jnp.int32))
 
+        # --- boundary-band metadata (banded halo exchange, round 5) ---
+        # Per device d: the union of this step's real-block windows is
+        # [need_start[d], need_end[d]); the band is that span padded to a
+        # uniform (max-over-devices) 8-aligned width and clamped into the
+        # source chunk. Devices with no real blocks at this step get a
+        # zero-A band at 0 (they still join the collective — static
+        # program — but contribute nothing).
+        n_edges_s = int(m.sum())
+        ecnt_steps.append(n_edges_s)
+        have_dev = have.any(axis=1)                          # [D]
+        w_real = np.where(have, starts, np.iinfo(np.int64).max)
+        need_start = w_real.min(axis=1)                      # [D]
+        w_end = np.where(have, starts + w_s, -1)
+        need_end = w_end.max(axis=1)                         # [D]
+        if n_edges_s == 0:
+            bw = 0
+            b_start = np.zeros(d_count, np.int64)
+        else:
+            span_dev = np.where(have_dev, need_end - need_start, w_s)
+            bw = int(-(-int(span_dev.max(initial=w_s)) // 8) * 8)
+            bw = min(bw, per)
+            b_start = np.where(have_dev,
+                               np.clip(need_start, 0, per - bw), 0)
+        bw_steps.append(bw)
+        bs_steps.append(jnp.asarray(b_start, jnp.int32))
+        # what device d sends = the band its (d - s) mod D neighbor needs
+        sent = b_start[(np.arange(d_count) - s) % d_count]
+        bss_steps.append(jnp.asarray(sent, jnp.int32))
+        wsb = w_start - b_start[:, None].astype(w_start.dtype)
+        # padding blocks may go negative (w_start of block 0 below the
+        # band); their A is zero, so pin them into range
+        wsb = np.clip(wsb, 0, max(0, bw - w_s))
+        wsb_steps.append(jnp.asarray(wsb, jnp.int32))
+
     return RingWindowedPartition(
         a_dense=tuple(a_steps), w_start=tuple(ws_steps),
         block_rows=tuple(br_steps), num_devices=d_count,
-        nodes_per_device=per, r_block=r_block, num_nodes=n)
+        nodes_per_device=per, r_block=r_block, num_nodes=n,
+        band_width=tuple(bw_steps), band_start=tuple(bs_steps),
+        band_sent_start=tuple(bss_steps), w_start_band=tuple(wsb_steps),
+        step_edges=tuple(ecnt_steps))
 
 
 def make_ring_spmm_windowed_gspmd(mesh: Mesh, part: RingWindowedPartition,
@@ -460,6 +532,246 @@ def make_ring_spmm_windowed_gspmd(mesh: Mesh, part: RingWindowedPartition,
 
     call.run = run
     call.prepare = prepare
+    return call
+
+
+def make_banded_spmm_gspmd(mesh: Mesh, part: RingWindowedPartition,
+                           axis: str = "data"):
+    """Boundary-band halo exchange (round 5): the windowed GSPMD
+    aggregation that ships ONLY the sender bands the receivers read,
+    instead of circulating full [per, F] chunks.
+
+    The round-4 ring moved (D-1) * per * F features per device while its
+    steps > 0 touched only chunk-boundary blocks; on a BFS-ordered
+    geometric topology the senders device d actually reads from chunk
+    (d+s) mod D form a ~window-wide 8-aligned band (precomputed:
+    `band_start`/`band_width`). Per nonempty step s > 0:
+
+      1. each device SLICES the band its (d-s) mod D neighbor needs out
+         of its own resident chunk (batch-sharded take_along_axis —
+         local),
+      2. ONE `jnp.roll(bands, -s, axis=0)` along the sharded device axis
+         moves the [band_width_s, F] slices (XLA collective-permute over
+         ICI — the only communication),
+      3. the dense-window einsum runs against BAND-local window starts.
+
+    Steps with zero edges are dropped from the program entirely (typical
+    geometric partitions have edges only at s in {0, 1, D-1}), so comm
+    per device is ~2 bands instead of D-1 full chunks — the
+    `comm_bytes_per_device` table quantifies the cut (~100-600x at
+    config-5 scale). The band slices of ALL steps are taken from the
+    ORIGINAL resident chunk (never from a circulated buffer), so no step
+    depends on a previous step's permute: XLA can overlap every exchange
+    with the (dominant) step-0 local compute, and the zero-overlap floor
+    no longer rides on that happening.
+
+    Differentiable end to end (gather/roll/einsum/scatter-add — the
+    cotangent of the band gather is the scatter back into the resident
+    chunk, of the roll the reverse roll), so this is also the training
+    aggregation (`sparse_spmd.make_sparse_spmd_train_step`).
+
+    h: [D*per, F] row-sharded; returns [D*per, F] row-sharded f32.
+    Reference anchors: aggregation BS_brain.py:69-76, topology
+    Environment.py:360-376; BASELINE north star "exchanging boundary
+    node features".
+    """
+    d_count = part.num_devices
+    per = part.nodes_per_device
+    r_block = part.r_block
+    blocks_local = per // r_block
+    assert part.band_width, (
+        "partition lacks band metadata; re-run partition_for_ring_windowed")
+    live = [s for s in range(d_count)
+            if s == 0 or part.step_edges[s] > 0]
+
+    @jax.jit
+    def run(h, a_steps, wsb_steps, br_steps, sent_steps):
+        f = h.shape[-1]
+        compute_dtype = h.dtype
+        buf = h.reshape(d_count, per, f)
+        out = jnp.zeros((d_count, blocks_local, r_block, f), jnp.float32)
+        for s in live:
+            a = a_steps[s]
+            w_s = a.shape[-1]
+            b_s = wsb_steps[s].shape[-1]
+            a3 = a.reshape(d_count, b_s, r_block, w_s)
+            if a3.dtype == jnp.int8:
+                a3 = a3.astype(jnp.bfloat16)
+            a3 = a3.astype(compute_dtype)
+            if s == 0:
+                band = buf                                   # no comm
+            else:
+                bw = part.band_width[s]
+                idx_b = sent_steps[s][:, None] + jnp.arange(bw)[None, :]
+                sent = jax.vmap(lambda bd, ix: bd[ix])(buf, idx_b)
+                # roll along the sharded device axis: recv[d] =
+                # sent[(d+s) % D] — a collective-permute of [bw, F] only
+                band = jnp.roll(sent, shift=-s, axis=0)
+            idx = wsb_steps[s][:, :, None] + jnp.arange(w_s)[None, None, :]
+            h_win = jax.vmap(lambda bd, ix: bd[ix])(band, idx)  # [D,B,W,F]
+            precision = (jax.lax.Precision.HIGHEST
+                         if compute_dtype == jnp.float32 else None)
+            partial = jnp.einsum("dbrw,dbwf->dbrf", a3, h_win,
+                                 preferred_element_type=jnp.float32,
+                                 precision=precision)
+            out = jax.vmap(lambda o, bi, p: o.at[bi].add(p))(
+                out, br_steps[s], partial)
+        return out.reshape(d_count * per, f)
+
+    from jax.sharding import NamedSharding
+    sh_rows = NamedSharding(mesh, P(axis))
+
+    def prepare():
+        """Device-put the layout arrays once; pass to `call.run` as
+        arguments (the HLO-constant / remote-compile trap)."""
+        return (jax.device_put(part.a_dense, sh_rows),
+                jax.device_put(part.w_start_band, sh_rows),
+                jax.device_put(part.block_rows, sh_rows),
+                jax.device_put(part.band_sent_start, sh_rows))
+
+    def call(h):
+        h = jax.device_put(h, sh_rows)
+        return run(h, *prepare())
+
+    call.run = run
+    call.prepare = prepare
+    call.live_steps = tuple(live)
+    return call
+
+
+def make_banded_spmm_pallas_gspmd(mesh: Mesh,
+                                  part: RingWindowedPartition,
+                                  axis: str = "data",
+                                  impl: str = "pallas"):
+    """Banded halo exchange with the PALLAS windowed kernel as the local
+    stage, mounted under GSPMD via `jax.experimental.custom_partitioning`
+    (full kernel speed — the round-4 unlock; shard_map compute is ~20x
+    degraded on this runtime).
+
+    Communication identical to `make_banded_spmm_gspmd`: per nonempty
+    step s > 0, one collective-permute of the [band_width_s, F] sender
+    bands; zero-edge steps are dropped from the program. The local stage
+    chains through an accumulator operand (out comes back as an input to
+    each step's custom_partitioning op), so the op's output sharding rule
+    reuses the accumulator's dimensions — no fresh output factors needed.
+    Forward only (the Pallas stage has no autodiff path); training uses
+    the differentiable jnp banded builder.
+    """
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    from gnnra_tpu.graph import WindowedDenseGraph
+    from gnnra_tpu.ops import spmm as spmm_lib
+
+    d_count = part.num_devices
+    per = part.nodes_per_device
+    r_block = part.r_block
+    blocks_local = per // r_block
+    assert part.band_width, (
+        "partition lacks band metadata; re-run partition_for_ring_windowed")
+    live = [s for s in range(d_count)
+            if s == 0 or part.step_edges[s] > 0]
+
+    def make_step(s):
+        b_s = int(part.w_start[s].shape[-1])
+        w_s = int(part.a_dense[s].shape[-1])
+
+        def shard_fn(out3, band3, a, wsb, br):
+            """Per-SHARD lowering: this device's band through the Pallas
+            windowed kernel on the step's compact block list, scatter-
+            added into the accumulator chunk."""
+            band = band3[0]
+            f = band.shape[-1]
+            wd_loc = WindowedDenseGraph(
+                a_dense=a[0], w_start=wsb[0], num_nodes=b_s * r_block,
+                num_nodes_padded=b_s * r_block, r_block=r_block,
+                num_edges=0)
+            compact = spmm_lib.spmm_windowed(band, wd_loc, impl=impl,
+                                             out_dtype=band.dtype)
+            out = out3[0].reshape(blocks_local, r_block, f)
+            out = out.at[br[0]].add(
+                compact.reshape(b_s, r_block, f).astype(out.dtype))
+            return out.reshape(1, per, f)
+
+        def global_fn(out3, band3, a, wsb, br):
+            """GLOBAL semantics (shape source + XLA's fallback): the
+            dense-window einsum vmapped over the device axis."""
+            d = band3.shape[0]
+            f = band3.shape[-1]
+            a3 = a.reshape(d, b_s, r_block, w_s)
+            if a3.dtype == jnp.int8:
+                a3 = a3.astype(jnp.bfloat16)
+            a3 = a3.astype(band3.dtype)
+            idx = wsb[:, :, None] + jnp.arange(w_s)[None, None, :]
+            h_win = jax.vmap(lambda bd, ix: bd[ix])(band3, idx)
+            precision = (jax.lax.Precision.HIGHEST
+                         if band3.dtype == jnp.float32 else None)
+            partial = jnp.einsum("dbrw,dbwf->dbrf", a3, h_win,
+                                 preferred_element_type=jnp.float32,
+                                 precision=precision)
+            out = out3.reshape(d, blocks_local, r_block, f)
+            out = jax.vmap(lambda o, bi, p: o.at[bi].add(
+                p.astype(o.dtype)))(out, br, partial)
+            return out.reshape(d, per, f)
+
+        f_cp = custom_partitioning(global_fn)
+
+        def partition(mesh_, arg_shapes, out_shape):
+            return (mesh_, shard_fn,
+                    jax.tree.map(lambda x: x.sharding, out_shape),
+                    jax.tree.map(lambda x: x.sharding, arg_shapes))
+
+        def infer_sharding(mesh_, arg_shapes, out_shape):
+            return arg_shapes[0].sharding
+
+        f_cp.def_partition(
+            partition=partition,
+            infer_sharding_from_operands=infer_sharding,
+            # accumulator dims (d p j) flow through to the output
+            sharding_rule="d p j, d i j, d k l, d m, d n -> d p j")
+        if d_count == 1:
+            # a 1-device mesh never takes the partition path; call the
+            # shard lowering (the production local stage) directly
+            return shard_fn
+        return f_cp
+
+    steps = {s: make_step(s) for s in live}
+
+    from jax.sharding import NamedSharding
+    sh_rows = NamedSharding(mesh, P(axis))
+
+    @jax.jit
+    def run(h, a_steps, wsb_steps, br_steps, sent_steps):
+        f = h.shape[-1]
+        constrain = lambda x: jax.lax.with_sharding_constraint(x, sh_rows)
+        buf = constrain(h.reshape(d_count, per, f))
+        out = jnp.zeros((d_count, per, f), h.dtype)
+        for s in live:
+            if s == 0:
+                band = buf
+            else:
+                bw = part.band_width[s]
+                idx_b = sent_steps[s][:, None] + jnp.arange(bw)[None, :]
+                sent = jax.vmap(lambda bd, ix: bd[ix])(buf, idx_b)
+                band = constrain(jnp.roll(sent, shift=-s, axis=0))
+            out = steps[s](constrain(out), band,
+                           constrain(a_steps[s]),
+                           constrain(wsb_steps[s]),
+                           constrain(br_steps[s]))
+        return out.reshape(d_count * per, f)
+
+    def prepare():
+        return (jax.device_put(part.a_dense, sh_rows),
+                jax.device_put(part.w_start_band, sh_rows),
+                jax.device_put(part.block_rows, sh_rows),
+                jax.device_put(part.band_sent_start, sh_rows))
+
+    def call(h):
+        h = jax.device_put(h, sh_rows)
+        return run(h, *prepare())
+
+    call.run = run
+    call.prepare = prepare
+    call.live_steps = tuple(live)
     return call
 
 

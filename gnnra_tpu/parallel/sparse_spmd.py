@@ -38,7 +38,8 @@ def make_sparse_spmd_train_step(mesh: Mesh,
                                 part: graph_parallel.RingWindowedPartition,
                                 cfg: ModelConfig, axis: str = "data",
                                 gamma: float = 0.5, lr: float = 1e-3,
-                                remat: bool = False):
+                                remat: bool = False,
+                                banded: bool = True):
     """Build (init_state, train_step) for the node-sharded sparse model.
 
     All [N_pad, *] tensors are row-sharded over `axis`; params/opt state
@@ -46,10 +47,22 @@ def make_sparse_spmd_train_step(mesh: Mesh,
     reward, *ring_args) -> (state', loss). `prepare()` on the returned
     object device-puts the ring layout arrays (pass them as arguments —
     the HLO-constant trap, docs/RESULTS.md).
+
+    `banded=True` (default, round 5) aggregates with the boundary-band
+    halo exchange (`make_banded_spmm_gspmd`): per nonempty cross-chunk
+    step, only the ~window-wide sender band moves (collective-permute of
+    [band, F] instead of the full [per, F] chunk — ~100x less comm at
+    config-5 scale), and every K-round aggregation in forward + backward
+    pays the banded cost. The banded builder is differentiable end to
+    end like the full-chunk ring (band-gather cotangent = scatter back
+    into the resident chunk; roll cotangent = reverse roll).
     """
     n_pad = part.num_devices * part.nodes_per_device
-    ring = graph_parallel.make_ring_spmm_windowed_gspmd(mesh, part,
-                                                        axis=axis)
+    if banded:
+        ring = graph_parallel.make_banded_spmm_gspmd(mesh, part, axis=axis)
+    else:
+        ring = graph_parallel.make_ring_spmm_windowed_gspmd(mesh, part,
+                                                            axis=axis)
     opt = optim.keras_adam(lr, b1=0.5)
     sh_rows = NamedSharding(mesh, P(axis))
     sh_rep = NamedSharding(mesh, P())
@@ -64,9 +77,9 @@ def make_sparse_spmd_train_step(mesh: Mesh,
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, node, edge, node2, edge2, actions, reward,
-                   a_parts, ws_parts, br_parts):
+                   *ring_args):
         def agg(h):
-            out = ring.run(h, a_parts, ws_parts, br_parts)
+            out = ring.run(h, *ring_args)
             return out.astype(h.dtype)
 
         q_next = gnn_dqn_sparse.apply(state["target"], node2, edge2, agg,
@@ -88,9 +101,7 @@ def make_sparse_spmd_train_step(mesh: Mesh,
                 "opt": opt_state}, loss
 
     def prepare():
-        return (jax.device_put(part.a_dense, sh_rows),
-                jax.device_put(part.w_start, sh_rows),
-                jax.device_put(part.block_rows, sh_rows))
+        return ring.prepare()
 
     def shard_batch(*arrays):
         """Row-shard [N_pad, *] feature/action tensors."""
