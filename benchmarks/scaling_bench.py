@@ -140,11 +140,15 @@ def main(argv=None):
                      graph_parallel.make_ring_spmm_windowed_gspmd(m, p)),
                     ("windowed_pallas", lambda m, p:
                      graph_parallel.make_ring_spmm_windowed_pallas_gspmd(
+                         m, p, impl=pallas_impl)),
+                    ("banded", lambda m, p:
+                     graph_parallel.make_banded_spmm_gspmd(m, p)),
+                    ("banded_pallas", lambda m, p:
+                     graph_parallel.make_banded_spmm_pallas_gspmd(
                          m, p, impl=pallas_impl))):
                 ring = builder(mesh, part)
                 t = bench_chain(
-                    lambda hp, a, ws, br: ring.run(hp, a, ws, br
-                                                   ).astype(hp.dtype),
+                    lambda hp, *data: ring.run(hp, *data).astype(hp.dtype),
                     h_pad, data=ring.prepare())
                 rate = e_geo / t
                 eff = rate / (base_rate * d)
@@ -153,6 +157,13 @@ def main(argv=None):
                     "value": round(rate / 1e9, 4), "unit": "Gedges/s",
                     "vs_baseline": round(rate / base_rate, 3),
                 }) + f"  # scaling efficiency {eff:.1%}")
+            comm = part.comm_bytes_per_device(f, h.dtype.itemsize)
+            print(f"# D={d} comm/device/aggregation: full-chunk ring "
+                  f"{comm['full_chunk_ring'] / 1e6:.2f} MB vs banded "
+                  f"{comm['banded'] / 1e6:.3f} MB "
+                  f"({comm['ratio']:.0f}x less); band widths "
+                  f"{[part.band_width[s] for s in range(d)]} rows, "
+                  f"step edges {list(part.step_edges)}")
             d *= 2
 
 

@@ -438,6 +438,12 @@ def partition_for_ring_windowed(graph: graph_lib.COOGraph,
         if n_edges_s == 0:
             bw = 0
             b_start = np.zeros(d_count, np.int64)
+        elif s == 0:
+            # the diagonal step reads the device's own RESIDENT chunk —
+            # no band is sliced or exchanged, so keep window starts
+            # chunk-local (band == chunk)
+            bw = per
+            b_start = np.zeros(d_count, np.int64)
         else:
             span_dev = np.where(have_dev, need_end - need_start, w_s)
             bw = int(-(-int(span_dev.max(initial=w_s)) // 8) * 8)
@@ -671,6 +677,67 @@ def make_banded_spmm_pallas_gspmd(mesh: Mesh,
     live = [s for s in range(d_count)
             if s == 0 or part.step_edges[s] > 0]
 
+    def make_step0():
+        """Diagonal step: band == resident chunk, no accumulator operand.
+        When the block list is the identity (every local block, in order
+        — the common case for the diagonal step) the compact kernel
+        output IS the chunk and no scatter is emitted at all."""
+        b_s = int(part.w_start[0].shape[-1])
+        w_s = int(part.a_dense[0].shape[-1])
+        br_np = np.asarray(part.block_rows[0])
+        identity = (b_s == blocks_local and
+                    bool((br_np == np.arange(blocks_local)).all()))
+
+        def shard_fn(buf3, a, wsb, br):
+            buf = buf3[0]
+            f = buf.shape[-1]
+            wd_loc = WindowedDenseGraph(
+                a_dense=a[0], w_start=wsb[0], num_nodes=b_s * r_block,
+                num_nodes_padded=b_s * r_block, r_block=r_block,
+                num_edges=0)
+            compact = spmm_lib.spmm_windowed(buf, wd_loc, impl=impl,
+                                             out_dtype=buf.dtype)
+            if identity:
+                return compact.reshape(1, per, f)
+            out = jnp.zeros((blocks_local, r_block, f), buf.dtype)
+            out = out.at[br[0]].add(compact.reshape(b_s, r_block, f))
+            return out.reshape(1, per, f)
+
+        def global_fn(buf3, a, wsb, br):
+            d = buf3.shape[0]
+            f = buf3.shape[-1]
+            a3 = a.reshape(d, b_s, r_block, w_s)
+            if a3.dtype == jnp.int8:
+                a3 = a3.astype(jnp.bfloat16)
+            a3 = a3.astype(buf3.dtype)
+            idx = wsb[:, :, None] + jnp.arange(w_s)[None, None, :]
+            h_win = jax.vmap(lambda bd, ix: bd[ix])(buf3, idx)
+            precision = (jax.lax.Precision.HIGHEST
+                         if buf3.dtype == jnp.float32 else None)
+            partial = jnp.einsum("dbrw,dbwf->dbrf", a3, h_win,
+                                 preferred_element_type=jnp.float32,
+                                 precision=precision)
+            out = jnp.zeros((d, blocks_local, r_block, f), jnp.float32)
+            out = jax.vmap(lambda o, bi, p: o.at[bi].add(p))(
+                out, br, partial)
+            return out.reshape(d, per, f).astype(buf3.dtype)
+
+        f_cp = custom_partitioning(global_fn)
+
+        def partition(mesh_, arg_shapes, out_shape):
+            return (mesh_, shard_fn,
+                    jax.tree.map(lambda x: x.sharding, out_shape),
+                    jax.tree.map(lambda x: x.sharding, arg_shapes))
+
+        def infer_sharding(mesh_, arg_shapes, out_shape):
+            return arg_shapes[0].sharding
+
+        f_cp.def_partition(
+            partition=partition,
+            infer_sharding_from_operands=infer_sharding,
+            sharding_rule="d i j, d k l, d m, d n -> d i j")
+        return shard_fn if d_count == 1 else f_cp
+
     def make_step(s):
         b_s = int(part.w_start[s].shape[-1])
         w_s = int(part.a_dense[s].shape[-1])
@@ -678,7 +745,7 @@ def make_banded_spmm_pallas_gspmd(mesh: Mesh,
         def shard_fn(out3, band3, a, wsb, br):
             """Per-SHARD lowering: this device's band through the Pallas
             windowed kernel on the step's compact block list, scatter-
-            added into the accumulator chunk."""
+            added into the accumulator chunk (a few boundary blocks)."""
             band = band3[0]
             f = band.shape[-1]
             wd_loc = WindowedDenseGraph(
@@ -734,7 +801,7 @@ def make_banded_spmm_pallas_gspmd(mesh: Mesh,
             return shard_fn
         return f_cp
 
-    steps = {s: make_step(s) for s in live}
+    steps = {s: (make_step0() if s == 0 else make_step(s)) for s in live}
 
     from jax.sharding import NamedSharding
     sh_rows = NamedSharding(mesh, P(axis))
@@ -744,15 +811,18 @@ def make_banded_spmm_pallas_gspmd(mesh: Mesh,
         f = h.shape[-1]
         constrain = lambda x: jax.lax.with_sharding_constraint(x, sh_rows)
         buf = constrain(h.reshape(d_count, per, f))
-        out = jnp.zeros((d_count, per, f), h.dtype)
+        # step 0 (always live) initializes the accumulator — no zeros
+        # buffer, no scatter on the identity diagonal
+        out = steps[0](buf, constrain(a_steps[0]),
+                       constrain(wsb_steps[0]),
+                       constrain(br_steps[0]))
         for s in live:
             if s == 0:
-                band = buf
-            else:
-                bw = part.band_width[s]
-                idx_b = sent_steps[s][:, None] + jnp.arange(bw)[None, :]
-                sent = jax.vmap(lambda bd, ix: bd[ix])(buf, idx_b)
-                band = constrain(jnp.roll(sent, shift=-s, axis=0))
+                continue
+            bw = part.band_width[s]
+            idx_b = sent_steps[s][:, None] + jnp.arange(bw)[None, :]
+            sent = jax.vmap(lambda bd, ix: bd[ix])(buf, idx_b)
+            band = constrain(jnp.roll(sent, shift=-s, axis=0))
             out = steps[s](constrain(out), band,
                            constrain(a_steps[s]),
                            constrain(wsb_steps[s]),
