@@ -690,6 +690,117 @@ def window_dense(graph: COOGraph, r_block: int = 256,
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class WindowedDenseTGraph:
+    """Feature-major (transposed) dense-window layout for NARROW feature
+    dims (round 5).
+
+    The node-major windowed kernel DMAs [W, F] windows whose minor dim is
+    lane-padded to 128: at the model's own F=16
+    (ModelConfig.num_feedback, reference BS_brain.py:101-104) the window
+    traffic is 8x real data, and in the HBM-streamed regime (>=500k
+    nodes, feature table beyond VMEM) F=16 measured exactly as slow as
+    F=128 (docs/RESULTS.md round-5 narrow-F section). Here features are
+    stored FEATURE-MAJOR [F_pad, N_pad] so a window slice [F_pad, W] is
+    all real data on the (128-tiled) lane axis, and the A tiles are
+    stored transposed [W, R] per block so the local matmul is
+    h_win [F, W] @ A_t [W, R] -> out [F, R]. Window starts are 128-
+    aligned (lane-dim dynamic slicing requires it), which widens W by at
+    most 128 rows vs the node-major layout's 8-aligned starts.
+    """
+
+    # [B*W, R]: transposed tile of block b occupies rows [b*W, (b+1)*W).
+    a_dense_t: jax.Array
+    w_start: jax.Array      # [B] int32 window starts, 128-aligned
+    num_nodes: int = dataclasses.field(metadata=dict(static=True))
+    num_nodes_padded: int = dataclasses.field(metadata=dict(static=True))
+    r_block: int = dataclasses.field(metadata=dict(static=True))
+    num_edges: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_blocks(self) -> int:
+        return int(self.w_start.shape[0])
+
+    @property
+    def window(self) -> int:
+        return int(self.a_dense_t.shape[0]) // self.num_blocks
+
+
+def window_dense_t(graph: COOGraph, r_block: int = 256,
+                   window: Optional[int] = None,
+                   dtype=jnp.bfloat16) -> WindowedDenseTGraph:
+    """Host-side preprocessing into the feature-major windowed layout
+    (`ops.spmm.spmm_windowed_t`). Same contract as `window_dense` but
+    with 128-aligned window starts and per-block TRANSPOSED [W, R] A
+    tiles. Use for narrow feature dims (F <= ~32) at HBM-streamed node
+    counts; `window_dense` remains the layout for F >= 128.
+    """
+    senders = np.asarray(graph.senders)
+    receivers = np.asarray(graph.receivers)
+    weights = np.asarray(graph.weights)
+    n = graph.num_nodes
+    e = senders.shape[0]
+    assert r_block % 8 == 0, "r_block must be a multiple of the sublane tile"
+    num_blocks = max(1, -(-n // r_block))
+    n_padded = num_blocks * r_block
+
+    block_of = receivers // r_block
+    w_start = np.zeros(num_blocks, np.int64)
+    mins = np.full(num_blocks, np.iinfo(np.int64).max)
+    maxs = np.full(num_blocks, -1)
+    np.minimum.at(mins, block_of, senders)
+    np.maximum.at(maxs, block_of, senders)
+    have = maxs >= 0
+    # starts aligned DOWN to the LANE tile (128): the kernel's window DMA
+    # slices the lane axis, whose dynamic offset must be 128-aligned
+    mins_aligned = (np.where(have, mins, 0) // 128) * 128
+    span = np.where(have, maxs - mins_aligned + 1, 0)
+    if window is None:
+        window = int(max(128, -(-int(span.max(initial=1)) // 128) * 128))
+    assert window % 128 == 0, "window must be a multiple of the lane tile"
+    if span.max(initial=0) > window:
+        bad = int(np.argmax(span))
+        raise ValueError(
+            f"sender span {int(span[bad])} of receiver block {bad} exceeds "
+            f"window {window}; BFS-reorder the graph (graph.reorder_nodes) "
+            "or raise `window`")
+    w_start[have] = mins_aligned[have]
+    # keep [start, start+window) inside the padded-to-128 feature table
+    # (the kernel pads the node axis to a multiple of 128)
+    n_lane_pad = -(-max(n_padded, window) // 128) * 128
+    w_start = np.minimum(w_start, max(0, n_lane_pad - window))
+
+    np_dtype = jnp.dtype(dtype)
+    r_local = receivers - block_of * r_block
+    s_local = senders - w_start[block_of]
+    edge_order = np.argsort(block_of, kind="stable")
+    block_counts = np.bincount(block_of, minlength=num_blocks)
+    block_starts = np.concatenate([[0], np.cumsum(block_counts)])
+    chunk_blocks = max(1, (1 << 28) // max(1, r_block * window * 4))
+    a = np.zeros((num_blocks * window, r_block), np_dtype)
+    for b0 in range(0, num_blocks, chunk_blocks):
+        b1 = min(b0 + chunk_blocks, num_blocks)
+        rows = edge_order[block_starts[b0]:block_starts[b1]]
+        sub = np.zeros((b1 - b0, window, r_block), np.float32)
+        np.add.at(sub, (block_of[rows] - b0, s_local[rows], r_local[rows]),
+                  weights[rows])
+        if jnp.dtype(dtype) == jnp.int8:
+            if not (np.all(sub == np.round(sub))
+                    and np.abs(sub).max(initial=0) <= 127):
+                raise ValueError(
+                    "int8 A tiles need integer accumulated weights in "
+                    "[-127, 127]; use bf16/f32 for this graph")
+        a[b0 * window:b1 * window] = sub.reshape(
+            (b1 - b0) * window, r_block).astype(np_dtype)
+
+    return WindowedDenseTGraph(
+        a_dense_t=jnp.asarray(a, dtype=dtype),
+        w_start=jnp.asarray(w_start, jnp.int32),
+        num_nodes=n, num_nodes_padded=n_padded, r_block=r_block,
+        num_edges=e)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class BucketedWindowedGraph:
     """Variable-width windowed layout (round 4): receiver blocks are
     grouped into K width buckets and each bucket stores its A tiles at its

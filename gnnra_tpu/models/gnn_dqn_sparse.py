@@ -65,6 +65,20 @@ def aggregate_blocked(fwd_layout, bwd_layout,
     return lambda h: call(h.astype(jnp.float32), fwd_layout, bwd_layout)
 
 
+def aggregate_windowed_t(fwd_wdt, bwd_wdt,
+                         impl: str = "pallas") -> AggregateFn:
+    """Feature-major windowed aggregation (`graph.window_dense_t` layouts)
+    for NARROW feature dims: the node-major kernel's window DMAs are
+    lane-padded to 128, so at the model's own F=16 they move 8x real
+    data; the feature-major kernel's windows are all real data and win
+    at every measured scale (round-5 narrow-F table, docs/RESULTS.md:
+    int8 F=16 5.07 vs 3.74 Gedges/s at 100k, 3.44 vs 1.44 at 500k,
+    1.65 vs 0.76 at 1M)."""
+    call = spmm_lib.make_spmm_windowed_t_call(impl=impl,
+                                              out_dtype="input")
+    return lambda h: call(h, fwd_wdt, bwd_wdt)
+
+
 def aggregate_windowed(fwd_wd, bwd_wd, impl: str = "pallas") -> AggregateFn:
     """Windowed-dense aggregation (`graph.window_dense` layouts over a
     BFS-reordered geometric graph): zero gathers; measured at 90% of the
@@ -93,9 +107,14 @@ def choose_aggregate_policy(num_nodes: int, num_edges: int, window: int,
     measured-fastest kernel (docs/RESULTS.md round-3/4 tables) a graph with
     these statistics should use.
 
-    Returns (kind, a_dtype) with kind in {"windowed", "two_level",
-    "blocked"}; a_dtype is the windowed A-tile storage dtype (None for the
-    gather paths).
+    Returns (kind, a_dtype) with kind in {"windowed", "windowed_t",
+    "two_level", "blocked"}; a_dtype is the windowed A-tile storage dtype
+    (None for the gather paths). "windowed_t" is the round-5 narrow-F
+    feature-major layout: chosen whenever the windowed family wins AND
+    feature_dim <= 32 — the node-major kernel lane-pads its window DMAs
+    to 128 and measured identical times at F=16 and F=128, while the
+    feature-major kernel wins at every measured scale (100k/500k/1M,
+    docs/RESULTS.md round-5 narrow-F table).
 
     The windowed-dense kernel wins when its modeled HBM traffic undercuts
     the gather path's AND its A tiles (forward + transposed backward) fit
@@ -117,19 +136,36 @@ def choose_aggregate_policy(num_nodes: int, num_edges: int, window: int,
     r_block = 256              # measured optimum (docs/RESULTS.md sweep)
     num_blocks = max(1, -(-num_nodes // r_block))
     out_bytes = num_nodes * feature_dim * 4
+    # Costs are modeled in TIME, not bytes: the windowed family is
+    # bandwidth-bound (measured 86-100% of the ~700 GB/s effective read
+    # ceiling), but the gather path has a PER-EDGE floor the bytes model
+    # misses — measured ~4 ns/edge at F=128 (0.25 Gedges/s) and WORSE at
+    # F=16 (0.094 Gedges/s: per-row gather overhead amortizes over fewer
+    # bytes). Round-5 narrow-F measurement; using the optimistic 4 ns
+    # floor keeps the comparison conservative for the gather path.
+    bw = 700e9
+    gather_ns_per_edge = 4e-9
     blocked_bytes = (num_edges * feature_dim * feature_bytes * 3
                      + out_bytes)
+    blocked_cost = max(blocked_bytes / bw,
+                       num_edges * gather_ns_per_edge)
     budget = int(hbm_bytes * A_PAIR_HBM_FRACTION)
     candidates = []
     if weights_are_small_integers and jnp.dtype(dtype) != jnp.float32:
         candidates.append(jnp.int8)
     candidates.append(dtype)
+    narrow_f = feature_dim <= 32
     for dt in candidates:
-        a_bytes = num_nodes * window * jnp.dtype(dt).itemsize
-        win_bytes = (a_bytes + num_blocks * window * feature_dim * 2
+        # the feature-major layout's 128-aligned starts widen W by at
+        # most 128 rows; its windows move real-F bytes instead of
+        # 128-lane-padded ones
+        w_eff = window + 128 if narrow_f else window
+        f_eff = feature_dim if narrow_f else max(128, feature_dim)
+        a_bytes = num_nodes * w_eff * jnp.dtype(dt).itemsize
+        win_bytes = (a_bytes + num_blocks * w_eff * f_eff * 2
                      + out_bytes)
-        if 2 * a_bytes <= budget and win_bytes <= blocked_bytes:
-            return "windowed", dt
+        if 2 * a_bytes <= budget and win_bytes / bw <= blocked_cost:
+            return ("windowed_t" if narrow_f else "windowed"), dt
     table_bytes = num_nodes * feature_dim * feature_bytes
     if table_bytes > 100 * (1 << 20):
         return "two_level", None
@@ -191,8 +227,15 @@ def default_aggregate(graph: COOGraph, dtype=jnp.bfloat16,
         graph.num_nodes, graph.num_edges, window, ints, dtype=dtype,
         feature_dim=feature_dim, feature_bytes=feature_bytes,
         hbm_bytes=hbm_bytes)
-    while kind == "windowed":
+    while kind in ("windowed", "windowed_t"):
         try:
+            if kind == "windowed_t":
+                fwd_wdt = graph_lib.window_dense_t(g_bfs, r_block,
+                                                   dtype=a_dtype)
+                bwd_wdt = graph_lib.window_dense_t(g_bfs.transpose(),
+                                                   r_block=r_block,
+                                                   dtype=a_dtype)
+                return aggregate_windowed_t(fwd_wdt, bwd_wdt, impl), perm
             # UNIFORM windows by default: the variable-width bucketed
             # layout wins +10% at the isolated-kernel level (3.90 vs 3.57
             # Gedges/s fwd int8) but measured 8% SLOWER in the composed

@@ -400,6 +400,135 @@ def _spmm_windowed_jnp(h: jax.Array, wd, out_dtype=None) -> jax.Array:
     return out.reshape(-1, f)[:wd.num_nodes].astype(out_dtype or jnp.float32)
 
 
+def _windowed_t_kernel(wstart_ref, a_ref, ht_hbm, out_ref, h_win, sems):
+    """Feature-major windowed SpMM, one grid step = one receiver block:
+    out_block [F, R] = h_window [F, W] @ A_t [W, R].
+
+    For narrow F the node-major kernel's [W, F] window DMA is lane-padded
+    to 128 (8x waste at F=16); here the window slices the LANE axis of
+    the [F_pad, N_pad] feature table — all real data — with the same
+    cross-step double buffering. a_ref: [W, R] transposed tile;
+    ht_hbm: [F_pad, N_lane_pad] (ANY/HBM); out_ref: [F_pad, R];
+    h_win: [2, F_pad, W] VMEM scratch; sems: 2 DMA semaphores.
+    """
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    w = h_win.shape[2]
+
+    def dma(i):
+        from jax.experimental.pallas import tpu as pltpu
+        start = pl.multiple_of(wstart_ref[i], 128)  # host aligns to lanes
+        return pltpu.make_async_copy(
+            ht_hbm.at[:, pl.ds(start, w)],
+            h_win.at[jax.lax.rem(i, 2)],
+            sems.at[jax.lax.rem(i, 2)])
+
+    @pl.when(b == 0)
+    def _():
+        dma(0).start()
+
+    @pl.when(b + 1 < nb)
+    def _():
+        dma(b + 1).start()
+
+    dma(b).wait()
+    a = a_ref[:]                                          # [W, R]
+    h = h_win[jax.lax.rem(b, 2)]                          # [F, W]
+    if a.dtype != h.dtype:
+        a = a.astype(h.dtype)                             # int8 tiles
+    precision = (jax.lax.Precision.HIGHEST
+                 if h.dtype == jnp.float32 else None)
+    out = jax.lax.dot_general(
+        h, a, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _spmm_windowed_t_pallas(h: jax.Array, wdt, interpret: bool = False,
+                            out_dtype=None) -> jax.Array:
+    from jax.experimental.pallas import tpu as pltpu
+
+    f_in = h.shape[-1]
+    r = wdt.r_block
+    w = wdt.window
+    nb = wdt.num_blocks
+    compute_dtype = (jnp.bfloat16 if wdt.a_dense_t.dtype == jnp.int8
+                     else wdt.a_dense_t.dtype)
+    out_dtype = jnp.dtype(out_dtype or jnp.float32)
+    h = h.astype(compute_dtype)
+    # feature-major table: F padded to the sublane tile, node axis (now
+    # the lane axis) padded to a 128 multiple covering every window
+    f = max(8, -(-f_in // 8) * 8)
+    n_lane_pad = -(-max(wdt.num_nodes_padded, w) // 128) * 128
+    ht = jnp.zeros((f, n_lane_pad), h.dtype)
+    ht = ht.at[:f_in, :h.shape[0]].set(h.T)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((w, r), lambda b, ws: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((f, r), lambda b, ws: (0, b),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, f, w), h.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out_t = pl.pallas_call(
+        _windowed_t_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((f, nb * r), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * r * w * f,
+            bytes_accessed=(wdt.a_dense_t.size
+                            * wdt.a_dense_t.dtype.itemsize
+                            + nb * w * f * h.dtype.itemsize
+                            + nb * r * f * out_dtype.itemsize),
+            transcendentals=0),
+        interpret=interpret,
+    )(wdt.w_start, wdt.a_dense_t, ht)
+    return out_t[:f_in, :wdt.num_nodes].T
+
+
+def _spmm_windowed_t_jnp(h: jax.Array, wdt, out_dtype=None) -> jax.Array:
+    """Vectorized jnp oracle/fallback (same math as the kernel)."""
+    f = h.shape[-1]
+    w = wdt.window
+    compute_dtype = (jnp.bfloat16 if wdt.a_dense_t.dtype == jnp.int8
+                     else wdt.a_dense_t.dtype)
+    n_lane_pad = -(-max(wdt.num_nodes_padded, w) // 128) * 128
+    h_pad = _pad_rows(h.astype(compute_dtype), n_lane_pad)
+    idx = wdt.w_start[:, None] + jnp.arange(w)[None, :]   # [B, W]
+    h_win = h_pad[idx]                                    # [B, W, F]
+    a3 = wdt.a_dense_t.reshape(wdt.num_blocks, w, wdt.r_block
+                               ).astype(compute_dtype)
+    out = jnp.einsum("bwr,bwf->brf", a3, h_win,
+                     preferred_element_type=jnp.float32,
+                     precision=(jax.lax.Precision.HIGHEST
+                                if compute_dtype == jnp.float32 else None))
+    return out.reshape(-1, f)[:wdt.num_nodes].astype(out_dtype
+                                                     or jnp.float32)
+
+
+def spmm_windowed_t(h: jax.Array, wdt, impl: Impl = "pallas",
+                    out_dtype=None) -> jax.Array:
+    """SpMM over a `graph.WindowedDenseTGraph` (feature-major windows for
+    narrow F — round-5 narrow-F path; see the layout's docstring).
+    Semantics match `spmm_coo` on the same edges (reference aggregation:
+    BS_brain.py:69-76). Input and output are node-major [N, F] like
+    `spmm_windowed`; the transposes to/from the feature-major table are
+    one [N, F] pass each (negligible next to the A-tile streaming)."""
+    if impl == "jnp":
+        return _spmm_windowed_t_jnp(h, wdt, out_dtype)
+    return _spmm_windowed_t_pallas(h, wdt,
+                                   interpret=(impl == "pallas_interpret"),
+                                   out_dtype=out_dtype)
+
+
 def spmm_windowed(h: jax.Array, wd, impl: Impl = "pallas",
                   out_dtype=None) -> jax.Array:
     """SpMM over a `graph.WindowedDenseGraph`: one dense MXU matmul per
@@ -638,6 +767,41 @@ def make_spmm_windowed_call(impl: Impl = "pallas", out_dtype=None):
         tok, fwd_wd, bwd_wd = res
         dh = spmm_windowed(g, bwd_wd, impl, out_dtype=tok.dtype)
         return dh, _zeros_like_tree(fwd_wd), _zeros_like_tree(bwd_wd)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def make_spmm_windowed_t_call(impl: Impl = "pallas", out_dtype=None):
+    """Differentiable feature-major windowed SpMM taking the layouts as
+    ARGUMENTS: f(h, fwd_wdt, bwd_wdt) -> [N, F]. The backward is the same
+    kernel on the transposed-graph layout (`graph.window_dense_t` of
+    graph.transpose()). See `make_spmm_windowed_call` for the
+    layouts-as-arguments rationale and the out_dtype contract."""
+
+    def _out(h):
+        return h.dtype if out_dtype == "input" else out_dtype
+
+    @jax.custom_vjp
+    def f(h, fwd_wdt, bwd_wdt):
+        del bwd_wdt
+        return spmm_windowed_t(h, fwd_wdt, impl, out_dtype=_out(h))
+
+    def fwd(h, fwd_wdt, bwd_wdt):
+        return f(h, fwd_wdt, bwd_wdt), (jnp.zeros((0,), h.dtype), fwd_wdt,
+                                        bwd_wdt)
+
+    def _zeros_like_tree(tree):
+        import numpy as _np
+        return jax.tree.map(
+            lambda x: (jnp.zeros(x.shape, x.dtype)
+                       if jnp.issubdtype(x.dtype, jnp.floating)
+                       else _np.zeros(x.shape, jax.dtypes.float0)), tree)
+
+    def bwd(res, g):
+        tok, fwd_wdt, bwd_wdt = res
+        dh = spmm_windowed_t(g, bwd_wdt, impl, out_dtype=tok.dtype)
+        return dh, _zeros_like_tree(fwd_wdt), _zeros_like_tree(bwd_wdt)
 
     f.defvjp(fwd, bwd)
     return f

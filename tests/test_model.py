@@ -461,6 +461,38 @@ class TestDefaultAggregate:
         assert pick(1_000_000, 10_000_000, 1_000_064, False,
                     feature_dim=128)[0] == "two_level"
 
+    def test_policy_narrow_f_routes_to_windowed_t(self):
+        # round-5 narrow-F finding: at F<=32 the node-major windowed
+        # kernel lane-pads its window DMAs to 128 (F=16 measured exactly
+        # as slow as F=128) while the feature-major kernel wins at every
+        # measured scale — the policy must route the model's own F=16 to
+        # windowed_t at the geometric scales
+        from gnnra_tpu.models import gnn_dqn_sparse
+        pick = gnn_dqn_sparse.choose_aggregate_policy
+        assert pick(100_000, 1_070_000, 1152, True,
+                    feature_dim=16) == ("windowed_t", jnp.int8)
+        assert pick(1_000_000, 10_700_000, 4608, True,
+                    feature_dim=16) == ("windowed_t", jnp.int8)
+        # F=128 keeps the node-major kernel
+        assert pick(100_000, 1_070_000, 1152, True,
+                    feature_dim=128)[0] == "windowed"
+
+    def test_default_aggregate_windowed_t_matches_oracle(self):
+        from gnnra_tpu import graph as graph_lib
+        from gnnra_tpu.models import gnn_dqn_sparse
+        from gnnra_tpu.ops import spmm as spmm_lib
+        _, g = graph_lib.geometric_interference_graph(0, 2000,
+                                                      target_degree=8)
+        agg, perm = gnn_dqn_sparse.default_aggregate(
+            g, dtype=jnp.float32, impl="jnp", feature_dim=16)
+        assert perm is not None
+        inv = graph_lib.inverse_permutation(perm)
+        h = jax.random.normal(jax.random.PRNGKey(1), (2000, 16))
+        out = np.asarray(agg(jnp.asarray(np.asarray(h)[perm]))
+                         .astype(jnp.float32))[inv]
+        want = np.asarray(spmm_lib.spmm_coo(h, g))
+        np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+
     def test_int8_accumulation_overflow_falls_back(self):
         # duplicate edges whose per-cell accumulated weight exceeds 127
         # pass the cheap integer pre-check but fail window_dense's build

@@ -484,6 +484,44 @@ class TestWindowedDenseSpmm:
                                    rtol=1e-4, atol=1e-4)
 
     @pytest.mark.parametrize("impl", ["jnp", "pallas_interpret"])
+    @pytest.mark.parametrize("dt", [jnp.float32, jnp.bfloat16, jnp.int8])
+    def test_windowed_t_matches_oracle(self, impl, dt):
+        # round-5 narrow-F feature-major layout: window slices the lane
+        # axis (all real data at F=16), A tiles transposed [W, R]
+        g = geo_bfs_graph(weighted=(dt == jnp.float32))
+        wdt = graph_lib.window_dense_t(g, r_block=128, dtype=dt)
+        assert int(wdt.w_start[0]) % 128 == 0
+        h = jax.random.normal(jax.random.PRNGKey(2), (g.num_nodes, 16))
+        h = h.astype(jnp.float32 if dt == jnp.float32 else jnp.bfloat16)
+        want = np.asarray(spmm.spmm_coo(h.astype(jnp.float32), g))
+        got = np.asarray(spmm.spmm_windowed_t(h, wdt, impl=impl))
+        tol = 1e-4 if dt == jnp.float32 else 5e-2
+        np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+
+    def test_windowed_t_odd_feature_dim(self):
+        # F=5 pads the sublane axis to 8; output crops back
+        g = geo_bfs_graph()
+        wdt = graph_lib.window_dense_t(g, r_block=128, dtype=jnp.float32)
+        h = jax.random.normal(jax.random.PRNGKey(6), (g.num_nodes, 5))
+        want = np.asarray(spmm.spmm_coo(h, g))
+        for impl in ("jnp", "pallas_interpret"):
+            got = np.asarray(spmm.spmm_windowed_t(h, wdt, impl=impl))
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_windowed_t_grad_matches_segment_sum(self):
+        g = geo_bfs_graph(weighted=True)
+        fwd = graph_lib.window_dense_t(g, 128, dtype=jnp.float32)
+        bwd = graph_lib.window_dense_t(g.transpose(), 128,
+                                       dtype=jnp.float32)
+        op = spmm.make_spmm_windowed_t_call(impl="jnp")
+        h = jax.random.normal(jax.random.PRNGKey(3), (g.num_nodes, 16))
+        gout = jax.random.normal(jax.random.PRNGKey(4), (g.num_nodes, 16))
+        dh = jax.vjp(lambda x: op(x, fwd, bwd), h)[1](gout)[0]
+        dh_ref = jax.vjp(lambda x: spmm.spmm_coo(x, g), h)[1](gout)[0]
+        np.testing.assert_allclose(np.asarray(dh), np.asarray(dh_ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("impl", ["jnp", "pallas_interpret"])
     @pytest.mark.parametrize("dt", [jnp.float32, jnp.int8])
     def test_bucketed_matches_oracle(self, impl, dt):
         # variable-width windowed layout (round 4): bucket-major grid,
