@@ -182,7 +182,111 @@ def section_proxy():
     _emit({"steps_per_s": 1.0 / dt})
 
 
-SECTIONS = {"production": section_production, "proxy": section_proxy}
+# ---------------------------------------------------------------------------
+# Section: config 3 — 256 batched envs, production scanned-episode program
+# ---------------------------------------------------------------------------
+
+def section_config3():
+    jax = _init_jax()
+    import jax.numpy as jnp
+    from gnnra_tpu.agent import dqn
+    from gnnra_tpu.config import EnvConfig, ModelConfig, TrainConfig
+    from gnnra_tpu.env import vehicular
+
+    env_cfg = EnvConfig()
+    model_cfg = ModelConfig()
+    n_envs = 256
+    burst = TrainConfig().transitions_per_step * n_envs
+    train_cfg = TrainConfig(num_envs=n_envs,
+                            memory_capacity=-(-200_000 // burst) * burst)
+    key = jax.random.PRNGKey(0)
+    agent = dqn.init_agent(key, model_cfg, train_cfg)
+
+    ep_fn = jax.jit(dqn.train_episode, static_argnums=(2, 3, 4, 5, 6, 7),
+                    donate_argnums=(0,))
+    tiny = jax.jit(lambda x: x * 2 + 1)
+    x = jnp.ones((8,))
+    for _ in range(25):
+        x = tiny(x)
+    jax.block_until_ready(x)
+    iters = 20
+    for i in range(2):
+        agent, rewards, metrics = ep_fn(
+            agent, jax.random.fold_in(key, 100 + i), env_cfg, model_cfg,
+            train_cfg, iters, 10_000_000, n_envs)
+        jax.device_get(metrics["loss_per_head"])
+    t0 = time.perf_counter()
+    n_rep = 3
+    for i in range(n_rep):
+        agent, rewards, metrics = ep_fn(
+            agent, jax.random.fold_in(key, 200 + i), env_cfg, model_cfg,
+            train_cfg, iters, 10_000_000, n_envs)
+        jax.device_get(metrics["loss_per_head"])
+    dt = (time.perf_counter() - t0) / (n_rep * iters)
+    print(f"config-3 (256 envs): {dt*1e3:.2f} ms/step "
+          f"({1.0/dt:.1f} steps/s)", file=sys.stderr)
+    _emit({"steps_per_s": 1.0 / dt,
+           "transitions_per_s": train_cfg.transitions_per_step
+           * n_envs / dt})
+
+
+# ---------------------------------------------------------------------------
+# Section: 100k-node sparse TRAINING step (config-4/5 single-chip composition)
+# ---------------------------------------------------------------------------
+
+def section_sparse100k():
+    _init_jax()
+    import contextlib
+    import io
+
+    from benchmarks import sparse_train_bench
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sparse_train_bench.main(["--nodes", "100000", "--iters", "10"])
+    out = buf.getvalue()
+    # prefix the inner bench's output so no bare {...} line of a
+    # SECONDARY metric can confuse a JSON-line scanner of the combined
+    # driver output
+    sys.stderr.write("".join(f"# {ln}\n" for ln in out.splitlines()))
+    for line in reversed(out.splitlines()):
+        if line.startswith("{"):
+            rec = json.loads(line.split("}")[0] + "}")
+            _emit({"steps_per_s": rec["value"],
+                   "gedge_visits_per_s": rec["vs_baseline"]})
+            return
+    raise RuntimeError("sparse_train_bench emitted no JSON line")
+
+
+# ---------------------------------------------------------------------------
+# Section: windowed SpMM forward (geometric topology kernel headline)
+# ---------------------------------------------------------------------------
+
+def section_windowed():
+    jax = _init_jax()
+    import jax.numpy as jnp
+
+    from benchmarks.spmm_bench import bench
+    from gnnra_tpu import graph as graph_lib
+    from gnnra_tpu.ops import spmm
+
+    n = 100_000
+    _, g = graph_lib.geometric_interference_graph(0, n, target_degree=10.7)
+    gb, _ = graph_lib.reorder_nodes(g, "bfs")
+    e = gb.num_edges
+    wd = graph_lib.window_dense(gb, r_block=256, dtype=jnp.int8)
+    h = jax.random.normal(jax.random.PRNGKey(2), (n, 128)
+                          ).astype(jnp.bfloat16)
+    t = bench(lambda h, w_: spmm.spmm_windowed(h, w_).astype(h.dtype), h,
+              data=(wd,))
+    print(f"windowed int8 fwd 100k: {e/t/1e9:.3f} Gedges/s",
+          file=sys.stderr)
+    _emit({"gedges_per_s": e / t / 1e9})
+
+
+SECTIONS = {"production": section_production, "proxy": section_proxy,
+            "config3": section_config3, "sparse100k": section_sparse100k,
+            "windowed": section_windowed}
 
 
 # ---------------------------------------------------------------------------
@@ -226,6 +330,27 @@ def main():
     if prod is None:
         print("[bench] production section failed", file=sys.stderr)
         sys.exit(1)
+    # Secondary metrics (round-5 widened surface: BASELINE configs 3-5).
+    # Emitted BEFORE the headline so a last-line parser still reads the
+    # parity number; failures here never suppress the headline.
+    cfg3 = run_section("config3", timeout_s=1500, attempts=1)
+    if cfg3:
+        print(json.dumps({
+            "metric": "batched_cfg3_train_steps_per_s",
+            "value": round(cfg3["steps_per_s"], 3), "unit": "steps/s",
+            "vs_baseline": round(cfg3["transitions_per_s"] / 1e6, 3)}))
+    sp = run_section("sparse100k", timeout_s=1800, attempts=1)
+    if sp:
+        print(json.dumps({
+            "metric": "sparse_train_100k_steps_per_s",
+            "value": round(sp["steps_per_s"], 3), "unit": "steps/s",
+            "vs_baseline": sp["gedge_visits_per_s"]}))
+    wf = run_section("windowed", timeout_s=1200, attempts=1)
+    if wf:
+        print(json.dumps({
+            "metric": "spmm_windowed_fwd_int8_100k",
+            "value": round(wf["gedges_per_s"], 4), "unit": "Gedges/s",
+            "vs_baseline": None}))
     vs_baseline = (prod["steps_per_s"] / proxy["steps_per_s"]
                    if proxy else None)
     print(json.dumps({

@@ -59,6 +59,8 @@ def report(results) -> dict:
 
 
 def main(argv=None):
+    from gnnra_tpu.utils import enable_compile_cache
+    enable_compile_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--preset", default="parity", choices=sorted(PRESETS))
     parser.add_argument("--checkpoint", type=int, required=True,

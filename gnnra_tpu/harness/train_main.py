@@ -52,6 +52,8 @@ def save_train_results(results, out_dir: str) -> str:
 
 
 def main(argv=None):
+    from gnnra_tpu.utils import enable_compile_cache
+    enable_compile_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--preset", default="parity", choices=sorted(PRESETS))
     parser.add_argument("--episodes", type=int, default=None)

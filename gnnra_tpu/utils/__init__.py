@@ -1,3 +1,19 @@
 """Utilities: checkpointing, metrics persistence, plotting, profiling."""
 
 from gnnra_tpu.utils import checkpoint  # noqa: F401
+
+
+def enable_compile_cache(path: str = "/root/.jax_cache"):
+    """Enable JAX's persistent compilation cache.
+
+    The chunked test/Opt program (vmapped 100-episode x 256-action
+    evaluation) costs a ~20-minute ONE-TIME compile on the
+    remote-compile TPU runtime (docs/RESULTS.md); the persistent cache
+    reduces every later run — across processes and driver rounds — to a
+    cache hit. Called by every harness entry point; idempotent and safe
+    before or after backend init (config keys only affect future
+    compiles)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -62,6 +62,18 @@ def main():
         got = jax.jit(lambda h, w: spmm.spmm_windowed(h, w))(hh, wd)
         check(f"windowed {tag} (W={wd.window})", got, want, *tol)
 
+    # narrow-F feature-major windowed kernel (round 5): checked at the
+    # model's own F=16 — the regime it exists for
+    h_n = jax.random.normal(jax.random.PRNGKey(4), (n, 16))
+    want_n = jax.jit(lambda h: spmm.spmm_coo(h, gb))(h_n)
+    for dtype, tag, tol in ((jnp.float32, "f32", (1e-4, 1e-3)),
+                            (jnp.bfloat16, "bf16", (5e-2, 8e-2)),
+                            (jnp.int8, "int8-A/bf16-h", (5e-2, 8e-2))):
+        wdt = G.window_dense_t(gb, r_block=256, dtype=dtype)
+        hh = h_n if dtype == jnp.float32 else h_n.astype(jnp.bfloat16)
+        got = jax.jit(lambda h, w: spmm.spmm_windowed_t(h, w))(hh, wdt)
+        check(f"windowed_t F16 {tag} (W={wdt.window})", got, want_n, *tol)
+
     # sampled blocked backward (fwd estimator checked distributionally in
     # tests; here the VJP path end-to-end on hardware)
     csr = G.to_csr(gb)
@@ -86,6 +98,15 @@ def main():
     h_pad = jnp.zeros((part.nodes_per_device, f)).at[:n].set(h)
     ring = graph_parallel.make_ring_spmm_gspmd(m1, part)
     check("gspmd ring D=1", ring(h_pad)[:n], want, 1e-4, 1e-3)
+
+    # round-5 banded halo exchange at D=1 (degenerates to the diagonal
+    # windowed step — checks the compiled Pallas local stage on hardware)
+    part_w = graph_parallel.partition_for_ring_windowed(
+        gb, num_devices=1, r_block=256, dtype=jnp.float32)
+    n_pad_w = part_w.num_devices * part_w.nodes_per_device
+    h_pad_w = jnp.zeros((n_pad_w, f)).at[:n].set(h)
+    banded = graph_parallel.make_banded_spmm_pallas_gspmd(m1, part_w)
+    check("banded pallas D=1", banded(h_pad_w)[:n], want, 1e-4, 1e-3)
 
     print("all TPU kernel-parity checks passed")
 
