@@ -457,9 +457,11 @@ def _spmm_windowed_t_pallas(h: jax.Array, wdt, interpret: bool = False,
     out_dtype = jnp.dtype(out_dtype or jnp.float32)
     h = h.astype(compute_dtype)
     # feature-major table: F padded to the sublane tile, node axis (now
-    # the lane axis) padded to a 128 multiple covering every window
+    # the lane axis) padded to a 128 multiple covering every window.
+    # h may have MORE rows than the output (banded halo exchange passes
+    # a sender band wider than the block rows) — cover those too.
     f = max(8, -(-f_in // 8) * 8)
-    n_lane_pad = -(-max(wdt.num_nodes_padded, w) // 128) * 128
+    n_lane_pad = -(-max(wdt.num_nodes_padded, w, h.shape[0]) // 128) * 128
     ht = jnp.zeros((f, n_lane_pad), h.dtype)
     ht = ht.at[:f_in, :h.shape[0]].set(h.T)
 
@@ -500,7 +502,7 @@ def _spmm_windowed_t_jnp(h: jax.Array, wdt, out_dtype=None) -> jax.Array:
     w = wdt.window
     compute_dtype = (jnp.bfloat16 if wdt.a_dense_t.dtype == jnp.int8
                      else wdt.a_dense_t.dtype)
-    n_lane_pad = -(-max(wdt.num_nodes_padded, w) // 128) * 128
+    n_lane_pad = -(-max(wdt.num_nodes_padded, w, h.shape[0]) // 128) * 128
     h_pad = _pad_rows(h.astype(compute_dtype), n_lane_pad)
     idx = wdt.w_start[:, None] + jnp.arange(w)[None, :]   # [B, W]
     h_win = h_pad[idx]                                    # [B, W, F]

@@ -312,6 +312,9 @@ class RingWindowedPartition:
     band_sent_start: tuple = ()
     w_start_band: tuple = ()
     step_edges: tuple = ()
+    # feature-major per-step tiles ([D, B_s*W_s, R] transposed) for the
+    # narrow-F windowed_t local stage; window/band starts 128-aligned
+    feature_major: bool = False
 
     @property
     def window(self):
@@ -337,7 +340,8 @@ class RingWindowedPartition:
 
 def partition_for_ring_windowed(graph: graph_lib.COOGraph,
                                 num_devices: int, r_block: int = 256,
-                                dtype=jnp.bfloat16
+                                dtype=jnp.bfloat16,
+                                feature_major: bool = False
                                 ) -> RingWindowedPartition:
     """Host-side preprocessing of a BFS-ordered geometric graph into the
     ring x windowed layout (round-4 composition: the GSPMD ring's local
@@ -361,6 +365,9 @@ def partition_for_ring_windowed(graph: graph_lib.COOGraph,
     blocks_local = per // r_block
     np_dtype = jnp.dtype(dtype)
 
+    # feature-major tiles need 128-aligned window/band starts (the
+    # windowed_t kernel slices the LANE axis of the [F, rows] table)
+    align = 128 if feature_major else 8
     d_of = receivers // per
     c_of = senders // per
     step_of = (c_of - d_of) % d_count
@@ -381,7 +388,7 @@ def partition_for_ring_windowed(graph: graph_lib.COOGraph,
         np.minimum.at(mins, cell, es)
         np.maximum.at(maxs, cell, es)
         have = (maxs >= 0).reshape(d_count, blocks_local)
-        mins_al = (np.where(maxs >= 0, mins, 0) // 8) * 8
+        mins_al = (np.where(maxs >= 0, mins, 0) // align) * align
         span = np.where(maxs >= 0, maxs - mins_al + 1, 0)
         w_s = int(max(128, -(-int(span.max(initial=1)) // 128) * 128))
         w_s = min(w_s, per)
@@ -406,18 +413,22 @@ def partition_for_ring_windowed(graph: graph_lib.COOGraph,
                                                         blocks_local)
         w_start = np.take_along_axis(starts, block_rows, axis=1)
 
-        a = np.zeros((d_count * b_s * r_block, w_s), np.float32)
         slot = slot_of_cell[cell]
         col = es - starts[ed, er_b]
-        rows = slot * r_block + er_r
-        np.add.at(a, (rows, col), ew)
+        if feature_major:
+            a = np.zeros((d_count * b_s * w_s, r_block), np.float32)
+            np.add.at(a, (slot * w_s + col, er_r), ew)
+        else:
+            a = np.zeros((d_count * b_s * r_block, w_s), np.float32)
+            np.add.at(a, (slot * r_block + er_r, col), ew)
         if np_dtype == jnp.int8:
             if not (np.all(a == np.round(a)) and np.abs(a).max(initial=0)
                     <= 127):
                 raise ValueError("int8 ring tiles need integer accumulated "
                                  "weights in [-127, 127]")
         a_steps.append(jnp.asarray(
-            a.reshape(d_count, b_s * r_block, w_s).astype(np_dtype)))
+            a.reshape(d_count, -1, w_s if not feature_major else r_block
+                      ).astype(np_dtype)))
         ws_steps.append(jnp.asarray(w_start, jnp.int32))
         br_steps.append(jnp.asarray(block_rows, jnp.int32))
 
@@ -446,7 +457,7 @@ def partition_for_ring_windowed(graph: graph_lib.COOGraph,
             b_start = np.zeros(d_count, np.int64)
         else:
             span_dev = np.where(have_dev, need_end - need_start, w_s)
-            bw = int(-(-int(span_dev.max(initial=w_s)) // 8) * 8)
+            bw = int(-(-int(span_dev.max(initial=w_s)) // align) * align)
             bw = min(bw, per)
             b_start = np.where(have_dev,
                                np.clip(need_start, 0, per - bw), 0)
@@ -467,7 +478,7 @@ def partition_for_ring_windowed(graph: graph_lib.COOGraph,
         nodes_per_device=per, r_block=r_block, num_nodes=n,
         band_width=tuple(bw_steps), band_start=tuple(bs_steps),
         band_sent_start=tuple(bss_steps), w_start_band=tuple(wsb_steps),
-        step_edges=tuple(ecnt_steps))
+        step_edges=tuple(ecnt_steps), feature_major=feature_major)
 
 
 def make_ring_spmm_windowed_gspmd(mesh: Mesh, part: RingWindowedPartition,
@@ -493,6 +504,9 @@ def make_ring_spmm_windowed_gspmd(mesh: Mesh, part: RingWindowedPartition,
     per = part.nodes_per_device
     r_block = part.r_block
     blocks_local = per // r_block
+    assert not part.feature_major, (
+        "full-chunk ring builders take node-major tiles; use the banded "
+        "builders for feature_major partitions")
 
     @jax.jit
     def run(h, a_steps, ws_steps, br_steps):
@@ -598,9 +612,15 @@ def make_banded_spmm_gspmd(mesh: Mesh, part: RingWindowedPartition,
         out = jnp.zeros((d_count, blocks_local, r_block, f), jnp.float32)
         for s in live:
             a = a_steps[s]
-            w_s = a.shape[-1]
             b_s = wsb_steps[s].shape[-1]
-            a3 = a.reshape(d_count, b_s, r_block, w_s)
+            if part.feature_major:
+                w_s = a.shape[1] // b_s
+                a3 = a.reshape(d_count, b_s, w_s, r_block)
+                spec = "dbwr,dbwf->dbrf"
+            else:
+                w_s = a.shape[-1]
+                a3 = a.reshape(d_count, b_s, r_block, w_s)
+                spec = "dbrw,dbwf->dbrf"
             if a3.dtype == jnp.int8:
                 a3 = a3.astype(jnp.bfloat16)
             a3 = a3.astype(compute_dtype)
@@ -617,7 +637,7 @@ def make_banded_spmm_gspmd(mesh: Mesh, part: RingWindowedPartition,
             h_win = jax.vmap(lambda bd, ix: bd[ix])(band, idx)  # [D,B,W,F]
             precision = (jax.lax.Precision.HIGHEST
                          if compute_dtype == jnp.float32 else None)
-            partial = jnp.einsum("dbrw,dbwf->dbrf", a3, h_win,
+            partial = jnp.einsum(spec, a3, h_win,
                                  preferred_element_type=jnp.float32,
                                  precision=precision)
             out = jax.vmap(lambda o, bi, p: o.at[bi].add(p))(
@@ -665,7 +685,7 @@ def make_banded_spmm_pallas_gspmd(mesh: Mesh,
     """
     from jax.experimental.custom_partitioning import custom_partitioning
 
-    from gnnra_tpu.graph import WindowedDenseGraph
+    from gnnra_tpu.graph import WindowedDenseGraph, WindowedDenseTGraph
     from gnnra_tpu.ops import spmm as spmm_lib
 
     d_count = part.num_devices
@@ -677,13 +697,59 @@ def make_banded_spmm_pallas_gspmd(mesh: Mesh,
     live = [s for s in range(d_count)
             if s == 0 or part.step_edges[s] > 0]
 
+    def step_dims(s):
+        b_s = int(part.w_start[s].shape[-1])
+        if part.feature_major:
+            w_s = int(part.a_dense[s].shape[1]) // b_s
+        else:
+            w_s = int(part.a_dense[s].shape[-1])
+        return b_s, w_s
+
+    def local_kernel(band, a_shard, wsb_shard, b_s):
+        """One device's compact windowed SpMM for this step: node-major
+        Pallas kernel, or the feature-major (windowed_t) kernel when the
+        partition stores transposed tiles — the round-5 narrow-F path
+        (2x the node-major kernel at the model's own F=16)."""
+        if part.feature_major:
+            wd_loc = WindowedDenseTGraph(
+                a_dense_t=a_shard, w_start=wsb_shard,
+                num_nodes=b_s * r_block, num_nodes_padded=b_s * r_block,
+                r_block=r_block, num_edges=0)
+            return spmm_lib.spmm_windowed_t(band, wd_loc, impl=impl,
+                                            out_dtype=band.dtype)
+        wd_loc = WindowedDenseGraph(
+            a_dense=a_shard, w_start=wsb_shard, num_nodes=b_s * r_block,
+            num_nodes_padded=b_s * r_block, r_block=r_block, num_edges=0)
+        return spmm_lib.spmm_windowed(band, wd_loc, impl=impl,
+                                      out_dtype=band.dtype)
+
+    def global_einsum(band3, a, wsb, b_s, w_s):
+        """Dense-window einsum with GLOBAL semantics — the shape source
+        and XLA fallback body for both tile orientations."""
+        d = band3.shape[0]
+        if part.feature_major:
+            a3 = a.reshape(d, b_s, w_s, r_block)
+            spec = "dbwr,dbwf->dbrf"
+        else:
+            a3 = a.reshape(d, b_s, r_block, w_s)
+            spec = "dbrw,dbwf->dbrf"
+        if a3.dtype == jnp.int8:
+            a3 = a3.astype(jnp.bfloat16)
+        a3 = a3.astype(band3.dtype)
+        idx = wsb[:, :, None] + jnp.arange(w_s)[None, None, :]
+        h_win = jax.vmap(lambda bd, ix: bd[ix])(band3, idx)
+        precision = (jax.lax.Precision.HIGHEST
+                     if band3.dtype == jnp.float32 else None)
+        return jnp.einsum(spec, a3, h_win,
+                          preferred_element_type=jnp.float32,
+                          precision=precision)          # [D, B, R, F] f32
+
     def make_step0():
         """Diagonal step: band == resident chunk, no accumulator operand.
         When the block list is the identity (every local block, in order
         — the common case for the diagonal step) the compact kernel
         output IS the chunk and no scatter is emitted at all."""
-        b_s = int(part.w_start[0].shape[-1])
-        w_s = int(part.a_dense[0].shape[-1])
+        b_s, w_s = step_dims(0)
         br_np = np.asarray(part.block_rows[0])
         identity = (b_s == blocks_local and
                     bool((br_np == np.arange(blocks_local)).all()))
@@ -691,12 +757,7 @@ def make_banded_spmm_pallas_gspmd(mesh: Mesh,
         def shard_fn(buf3, a, wsb, br):
             buf = buf3[0]
             f = buf.shape[-1]
-            wd_loc = WindowedDenseGraph(
-                a_dense=a[0], w_start=wsb[0], num_nodes=b_s * r_block,
-                num_nodes_padded=b_s * r_block, r_block=r_block,
-                num_edges=0)
-            compact = spmm_lib.spmm_windowed(buf, wd_loc, impl=impl,
-                                             out_dtype=buf.dtype)
+            compact = local_kernel(buf, a[0], wsb[0], b_s)
             if identity:
                 return compact.reshape(1, per, f)
             out = jnp.zeros((blocks_local, r_block, f), buf.dtype)
@@ -706,17 +767,7 @@ def make_banded_spmm_pallas_gspmd(mesh: Mesh,
         def global_fn(buf3, a, wsb, br):
             d = buf3.shape[0]
             f = buf3.shape[-1]
-            a3 = a.reshape(d, b_s, r_block, w_s)
-            if a3.dtype == jnp.int8:
-                a3 = a3.astype(jnp.bfloat16)
-            a3 = a3.astype(buf3.dtype)
-            idx = wsb[:, :, None] + jnp.arange(w_s)[None, None, :]
-            h_win = jax.vmap(lambda bd, ix: bd[ix])(buf3, idx)
-            precision = (jax.lax.Precision.HIGHEST
-                         if buf3.dtype == jnp.float32 else None)
-            partial = jnp.einsum("dbrw,dbwf->dbrf", a3, h_win,
-                                 preferred_element_type=jnp.float32,
-                                 precision=precision)
+            partial = global_einsum(buf3, a, wsb, b_s, w_s)
             out = jnp.zeros((d, blocks_local, r_block, f), jnp.float32)
             out = jax.vmap(lambda o, bi, p: o.at[bi].add(p))(
                 out, br, partial)
@@ -739,8 +790,7 @@ def make_banded_spmm_pallas_gspmd(mesh: Mesh,
         return shard_fn if d_count == 1 else f_cp
 
     def make_step(s):
-        b_s = int(part.w_start[s].shape[-1])
-        w_s = int(part.a_dense[s].shape[-1])
+        b_s, w_s = step_dims(s)
 
         def shard_fn(out3, band3, a, wsb, br):
             """Per-SHARD lowering: this device's band through the Pallas
@@ -748,12 +798,7 @@ def make_banded_spmm_pallas_gspmd(mesh: Mesh,
             added into the accumulator chunk (a few boundary blocks)."""
             band = band3[0]
             f = band.shape[-1]
-            wd_loc = WindowedDenseGraph(
-                a_dense=a[0], w_start=wsb[0], num_nodes=b_s * r_block,
-                num_nodes_padded=b_s * r_block, r_block=r_block,
-                num_edges=0)
-            compact = spmm_lib.spmm_windowed(band, wd_loc, impl=impl,
-                                             out_dtype=band.dtype)
+            compact = local_kernel(band, a[0], wsb[0], b_s)
             out = out3[0].reshape(blocks_local, r_block, f)
             out = out.at[br[0]].add(
                 compact.reshape(b_s, r_block, f).astype(out.dtype))
@@ -764,17 +809,7 @@ def make_banded_spmm_pallas_gspmd(mesh: Mesh,
             dense-window einsum vmapped over the device axis."""
             d = band3.shape[0]
             f = band3.shape[-1]
-            a3 = a.reshape(d, b_s, r_block, w_s)
-            if a3.dtype == jnp.int8:
-                a3 = a3.astype(jnp.bfloat16)
-            a3 = a3.astype(band3.dtype)
-            idx = wsb[:, :, None] + jnp.arange(w_s)[None, None, :]
-            h_win = jax.vmap(lambda bd, ix: bd[ix])(band3, idx)
-            precision = (jax.lax.Precision.HIGHEST
-                         if band3.dtype == jnp.float32 else None)
-            partial = jnp.einsum("dbrw,dbwf->dbrf", a3, h_win,
-                                 preferred_element_type=jnp.float32,
-                                 precision=precision)
+            partial = global_einsum(band3, a, wsb, b_s, w_s)
             out = out3.reshape(d, blocks_local, r_block, f)
             out = jax.vmap(lambda o, bi, p: o.at[bi].add(
                 p.astype(o.dtype)))(out, br, partial)
