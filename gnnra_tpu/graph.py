@@ -874,6 +874,109 @@ def _choose_bucket_widths(block_widths: np.ndarray, max_buckets: int
     return sorted(cuts)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BucketedWindowedTGraph:
+    """Variable-width FEATURE-MAJOR windowed layout (round 5): the
+    bucketed width classes of `BucketedWindowedGraph` with the
+    transposed [W_k, R] tiles and 128-aligned window starts of
+    `WindowedDenseTGraph`. At 1M nodes / F=16 the uniform feature-major
+    layout pays the WIDEST block's span (W_t = 4736) in the dominant A
+    stream; bucketing cuts the W-proportional bytes to the assigned
+    widths' total (~0.75x). Kernel: `ops.spmm.spmm_windowed_t`."""
+
+    a_parts: tuple          # K arrays [nk * W_k, r_block], natural order
+    w_start: jax.Array      # [NB] int32 window starts (128-aligned)
+    bucket_of: jax.Array    # [NB] int32 bucket id per block
+    a_idx: tuple            # K arrays [NB] int32 clamped running indices
+    block_ids: tuple        # K arrays [nk] int32 member blocks per bucket
+    widths: tuple = dataclasses.field(metadata=dict(static=True))
+    num_nodes: int = dataclasses.field(metadata=dict(static=True))
+    num_nodes_padded: int = dataclasses.field(metadata=dict(static=True))
+    r_block: int = dataclasses.field(metadata=dict(static=True))
+    num_edges: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_blocks(self) -> int:
+        return int(self.w_start.shape[0])
+
+
+def window_dense_bucketed_t(graph: COOGraph, r_block: int = 256,
+                            max_buckets: int = 3,
+                            dtype=jnp.bfloat16) -> BucketedWindowedTGraph:
+    """Host-side preprocessing into the bucketed FEATURE-MAJOR layout:
+    `window_dense_bucketed` semantics with 128-aligned starts (the
+    feature-major kernel slices the lane axis) and transposed tiles."""
+    senders = np.asarray(graph.senders)
+    receivers = np.asarray(graph.receivers)
+    weights = np.asarray(graph.weights)
+    n = graph.num_nodes
+    e = senders.shape[0]
+    assert r_block % 8 == 0
+    num_blocks = max(1, -(-n // r_block))
+    n_padded = num_blocks * r_block
+    n_lane_pad = -(-n_padded // 128) * 128
+    np_dtype = jnp.dtype(dtype)
+
+    block_of = receivers // r_block
+    mins = np.full(num_blocks, np.iinfo(np.int64).max)
+    maxs = np.full(num_blocks, -1)
+    np.minimum.at(mins, block_of, senders)
+    np.maximum.at(maxs, block_of, senders)
+    have = maxs >= 0
+    mins_aligned = (np.where(have, mins, 0) // 128) * 128
+    span = np.where(have, maxs - mins_aligned + 1, 1)
+    w_block = np.maximum(128, -(-span // 128) * 128)
+
+    widths = _choose_bucket_widths(w_block, max_buckets)
+    k_count = len(widths)
+    bucket_of = np.searchsorted(np.asarray(widths), w_block)
+    w_assigned = np.asarray(widths)[bucket_of]
+    # keep [start, start+w) inside the lane-padded table; both bounds
+    # are 128-aligned so the clamp preserves alignment
+    starts = np.minimum(mins_aligned,
+                        np.maximum(0, n_lane_pad - w_assigned))
+
+    a_parts = []
+    a_idx = []
+    block_ids = []
+    r_local = receivers - block_of * r_block
+    s_local = senders - starts[block_of]
+    assert s_local.min(initial=0) >= 0
+    local_of_block = np.zeros(num_blocks, np.int64)
+    for k in range(k_count):
+        members = np.nonzero(bucket_of == k)[0]
+        local_of_block[members] = np.arange(members.shape[0])
+        block_ids.append(jnp.asarray(members.astype(np.int32)))
+    for k in range(k_count):
+        members = np.asarray(block_ids[k])
+        nk = members.shape[0]
+        wk = int(widths[k])
+        a = np.zeros((max(nk, 1) * wk, r_block), np.float32)
+        m = bucket_of[block_of] == k
+        rows = local_of_block[block_of[m]] * wk + s_local[m]
+        np.add.at(a, (rows, r_local[m]), weights[m])
+        if np_dtype == jnp.int8:
+            if not (np.all(a == np.round(a))
+                    and np.abs(a).max(initial=0) <= 127):
+                raise ValueError(
+                    "int8 A tiles need integer accumulated weights in "
+                    "[-127, 127]; use bf16/f32 for this graph")
+        a_parts.append(jnp.asarray(a.astype(np_dtype)))
+        running = np.cumsum(bucket_of == k) - 1
+        a_idx.append(jnp.asarray(
+            np.clip(running, 0, max(nk - 1, 0)).astype(np.int32)))
+
+    return BucketedWindowedTGraph(
+        a_parts=tuple(a_parts),
+        w_start=jnp.asarray(starts.astype(np.int32)),
+        bucket_of=jnp.asarray(bucket_of.astype(np.int32)),
+        a_idx=tuple(a_idx), block_ids=tuple(block_ids),
+        widths=tuple(int(x) for x in widths),
+        num_nodes=n, num_nodes_padded=n_padded, r_block=r_block,
+        num_edges=e)
+
+
 def window_dense_bucketed(graph: COOGraph, r_block: int = 256,
                           max_buckets: int = 3,
                           dtype=jnp.bfloat16) -> BucketedWindowedGraph:

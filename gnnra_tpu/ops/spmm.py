@@ -516,14 +516,172 @@ def _spmm_windowed_t_jnp(h: jax.Array, wdt, out_dtype=None) -> jax.Array:
                                                      or jnp.float32)
 
 
+def _make_bucketed_t_kernel(widths):
+    """Feature-major twin of `_make_bucketed_kernel`: one grid step = one
+    receiver block in natural order; the window DMA slices the LANE axis
+    of the [F, N_lane_pad] table at per-class widths; the matmul is
+    h_win [F, W_k] @ A_t [W_k, R]."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    k_count = len(widths)
+
+    def kernel(*refs):
+        # refs: w_start, bucket_of, a_idx_0..K-1 (prefetched scalars),
+        #       a_0..a_{K-1} (VMEM blocks), ht_hbm (ANY), out_ref,
+        #       h_win [2, F, W_max], sems [2] (scratch)
+        w_start_ref = refs[0]
+        bucket_ref = refs[1]
+        a_refs = refs[2 + k_count:2 + 2 * k_count]
+        ht_hbm = refs[2 + 2 * k_count]
+        out_ref = refs[3 + 2 * k_count]
+        h_win = refs[4 + 2 * k_count]
+        sems = refs[5 + 2 * k_count]
+        b = pl.program_id(0)
+        nb = pl.num_programs(0)
+
+        for k in range(k_count):
+            wk = widths[k]
+
+            def dma(i, wk=wk):
+                start = pl.multiple_of(w_start_ref[i], 128)
+                slot = jax.lax.rem(i, 2)
+                return pltpu.make_async_copy(
+                    ht_hbm.at[:, pl.ds(start, wk)],
+                    h_win.at[slot, :, pl.ds(0, wk)],
+                    sems.at[slot])
+
+            @pl.when((b == 0) & (bucket_ref[0] == k))
+            def _():
+                dma(0).start()
+
+            @pl.when((b + 1 < nb) & (bucket_ref[b + 1] == k))
+            def _():
+                dma(b + 1).start()
+
+            @pl.when(bucket_ref[b] == k)
+            def _(k=k, wk=wk):
+                dma(b).wait()
+                a = a_refs[k][:]                        # [W_k, R]
+                h = h_win[jax.lax.rem(b, 2), :, 0:wk]   # [F, W_k]
+                if a.dtype != h.dtype:
+                    a = a.astype(h.dtype)
+                precision = (jax.lax.Precision.HIGHEST
+                             if h.dtype == jnp.float32 else None)
+                out = jax.lax.dot_general(
+                    h, a, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
+                out_ref[:] = out.astype(out_ref.dtype)
+
+    return kernel
+
+
+def _spmm_windowed_bucketed_t_pallas(h: jax.Array, bwt,
+                                     interpret: bool = False,
+                                     out_dtype=None) -> jax.Array:
+    from jax.experimental.pallas import tpu as pltpu
+
+    f_in = h.shape[-1]
+    r = bwt.r_block
+    nb = bwt.num_blocks
+    k_count = len(bwt.widths)
+    compute_dtype = (jnp.bfloat16 if bwt.a_parts[0].dtype == jnp.int8
+                     else bwt.a_parts[0].dtype)
+    out_dtype = jnp.dtype(out_dtype or jnp.float32)
+    h = h.astype(compute_dtype)
+    f = max(8, -(-f_in // 8) * 8)
+    n_lane_pad = -(-max(bwt.num_nodes_padded, max(bwt.widths),
+                        h.shape[0]) // 128) * 128
+    ht = jnp.zeros((f, n_lane_pad), h.dtype)
+    ht = ht.at[:f_in, :h.shape[0]].set(h.T)
+
+    def a_spec(k):
+        wk = bwt.widths[k]
+        return pl.BlockSpec(
+            (wk, r),
+            (lambda k: lambda i, ws, bo, *ai: (ai[k][i], 0))(k),
+            memory_space=pltpu.VMEM)
+
+    w_max = max(bwt.widths)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2 + k_count,
+        grid=(nb,),
+        in_specs=[a_spec(k) for k in range(k_count)] +
+                 [pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((f, r), lambda i, ws, bo, *ai: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, f, w_max), h.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    a_bytes = sum(a.size * a.dtype.itemsize for a in bwt.a_parts)
+    sizes = [int(b.shape[0]) for b in bwt.block_ids]
+    win_bytes = sum(sizes[k] * bwt.widths[k] * f * h.dtype.itemsize
+                    for k in range(k_count))
+    out_t = pl.pallas_call(
+        _make_bucketed_t_kernel(bwt.widths),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((f, nb * r), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * sum(sizes[k] * r * bwt.widths[k] * f
+                          for k in range(k_count)),
+            bytes_accessed=(a_bytes + win_bytes
+                            + nb * r * f * out_dtype.itemsize),
+            transcendentals=0),
+        interpret=interpret,
+    )(bwt.w_start, bwt.bucket_of, *bwt.a_idx, *bwt.a_parts, ht)
+    return out_t[:f_in, :bwt.num_nodes].T
+
+
+def _spmm_windowed_bucketed_t_jnp(h: jax.Array, bwt,
+                                  out_dtype=None) -> jax.Array:
+    """Vectorized jnp oracle/fallback (same math, bucket by bucket)."""
+    f = h.shape[-1]
+    r = bwt.r_block
+    compute_dtype = (jnp.bfloat16 if bwt.a_parts[0].dtype == jnp.int8
+                     else bwt.a_parts[0].dtype)
+    n_lane_pad = -(-max(bwt.num_nodes_padded, max(bwt.widths),
+                        h.shape[0]) // 128) * 128
+    h_pad = _pad_rows(h.astype(compute_dtype), n_lane_pad)
+    nb = bwt.num_blocks
+    out = jnp.zeros((nb, r, f), jnp.float32)
+    for k, wk in enumerate(bwt.widths):
+        members = bwt.block_ids[k]
+        nk = int(members.shape[0])
+        if nk == 0:
+            continue
+        a3 = bwt.a_parts[k][:nk * wk].reshape(nk, wk, r
+                                              ).astype(compute_dtype)
+        idx = bwt.w_start[members][:, None] + jnp.arange(wk)[None, :]
+        h_win = h_pad[idx]                                # [nk, W_k, F]
+        res = jnp.einsum("bwr,bwf->brf", a3, h_win,
+                         preferred_element_type=jnp.float32,
+                         precision=(jax.lax.Precision.HIGHEST
+                                    if compute_dtype == jnp.float32
+                                    else None))
+        out = out.at[members].set(res)
+    return out.reshape(-1, f)[:bwt.num_nodes].astype(out_dtype
+                                                     or jnp.float32)
+
+
 def spmm_windowed_t(h: jax.Array, wdt, impl: Impl = "pallas",
                     out_dtype=None) -> jax.Array:
-    """SpMM over a `graph.WindowedDenseTGraph` (feature-major windows for
-    narrow F — round-5 narrow-F path; see the layout's docstring).
+    """SpMM over a `graph.WindowedDenseTGraph` or
+    `graph.BucketedWindowedTGraph` (feature-major windows for narrow F —
+    round-5 narrow-F path; see the layouts' docstrings).
     Semantics match `spmm_coo` on the same edges (reference aggregation:
     BS_brain.py:69-76). Input and output are node-major [N, F] like
     `spmm_windowed`; the transposes to/from the feature-major table are
     one [N, F] pass each (negligible next to the A-tile streaming)."""
+    from gnnra_tpu.graph import BucketedWindowedTGraph
+
+    if isinstance(wdt, BucketedWindowedTGraph):
+        if impl == "jnp":
+            return _spmm_windowed_bucketed_t_jnp(h, wdt, out_dtype)
+        return _spmm_windowed_bucketed_t_pallas(
+            h, wdt, interpret=(impl == "pallas_interpret"),
+            out_dtype=out_dtype)
     if impl == "jnp":
         return _spmm_windowed_t_jnp(h, wdt, out_dtype)
     return _spmm_windowed_t_pallas(h, wdt,

@@ -508,6 +508,23 @@ class TestWindowedDenseSpmm:
             got = np.asarray(spmm.spmm_windowed_t(h, wdt, impl=impl))
             np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("impl", ["jnp", "pallas_interpret"])
+    @pytest.mark.parametrize("dt", [jnp.float32, jnp.int8])
+    def test_bucketed_t_matches_oracle(self, impl, dt):
+        # round-5 variable-width feature-major layout: bucketed width
+        # classes + transposed tiles + 128-aligned starts
+        g = geo_bfs_graph(weighted=(dt == jnp.float32))
+        bwt = graph_lib.window_dense_bucketed_t(g, r_block=128, dtype=dt)
+        assert len(bwt.widths) >= 1
+        assert all(w % 128 == 0 for w in bwt.widths)
+        assert int(bwt.w_start[0]) % 128 == 0
+        h = jax.random.normal(jax.random.PRNGKey(2), (g.num_nodes, 16))
+        h = h.astype(jnp.float32 if dt == jnp.float32 else jnp.bfloat16)
+        want = np.asarray(spmm.spmm_coo(h.astype(jnp.float32), g))
+        got = np.asarray(spmm.spmm_windowed_t(h, bwt, impl=impl))
+        tol = 1e-4 if dt == jnp.float32 else 5e-2
+        np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+
     def test_windowed_t_grad_matches_segment_sum(self):
         g = geo_bfs_graph(weighted=True)
         fwd = graph_lib.window_dense_t(g, 128, dtype=jnp.float32)
