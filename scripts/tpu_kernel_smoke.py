@@ -74,6 +74,12 @@ def main():
         got = jax.jit(lambda h, w: spmm.spmm_windowed_t(h, w))(hh, wdt)
         check(f"windowed_t F16 {tag} (W={wdt.window})", got, want_n, *tol)
 
+    bwt = G.window_dense_bucketed_t(gb, r_block=256, dtype=jnp.int8)
+    got = jax.jit(lambda h, w: spmm.spmm_windowed_t(h, w))(
+        h_n.astype(jnp.bfloat16), bwt)
+    check(f"bucketed_t F16 int8 (widths={bwt.widths})", got, want_n,
+          5e-2, 8e-2)
+
     # sampled blocked backward (fwd estimator checked distributionally in
     # tests; here the VJP path end-to-end on hardware)
     csr = G.to_csr(gb)
