@@ -220,6 +220,37 @@ def test_banded_spmm_feature_major_matches_oracle():
             np.asarray(bp(h_pad))[:n], want, rtol=1e-4, atol=1e-4)
 
 
+def test_banded_spmm_hlo_permutes_bands_not_chunks():
+    """Compiler-level evidence for the comm claim: the compiled banded
+    program's collective-permutes carry [1, band_width, F] tensors, one
+    per live cross-chunk step — never the full [1, per, F] chunk, and
+    none for the dropped zero-edge steps."""
+    import re
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    _, g = graph_lib.geometric_interference_graph(0, 2000, target_degree=8)
+    gb, _ = graph_lib.reorder_nodes(g, "bfs")
+    d = 8
+    part = graph_parallel.partition_for_ring_windowed(
+        gb, num_devices=d, r_block=32, dtype=jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:d]), ("data",))
+    banded = graph_parallel.make_banded_spmm_gspmd(mesh, part)
+    args = banded.prepare()
+    n_pad = d * part.nodes_per_device
+    h = jax.device_put(jnp.zeros((n_pad, 16)),
+                       NamedSharding(mesh, P("data")))
+    txt = banded.run.lower(h, *args).compile().as_text()
+    cp_types = re.findall(r"= (\S+) collective-permute\(", txt)
+    live_comm = [s for s in banded.live_steps if s > 0]
+    assert len(cp_types) == len(live_comm), (cp_types, banded.live_steps)
+    per = part.nodes_per_device
+    got_rows = sorted(int(t.split("[")[1].split(",")[1]) for t in cp_types)
+    want_rows = sorted(part.band_width[s] for s in live_comm)
+    assert got_rows == want_rows, (got_rows, want_rows)
+    assert all(r < per for r in got_rows)
+
+
 def test_banded_spmm_gradient_matches_coo():
     """The banded jnp builder is the TRAINING aggregation
     (sparse_spmd.make_sparse_spmd_train_step): its gradient w.r.t. the
